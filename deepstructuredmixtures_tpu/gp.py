@@ -1,0 +1,148 @@
+"""Standalone exact Gaussian process.
+
+User-facing equivalent of the reference ``GaussianProcess``
+(``src/gaussianprocess.jl``): exact posterior via Cholesky (R&W Alg. 2.1),
+closed-form prediction with full posterior covariance, marginal
+log-likelihood, and autodiff hyper-gradients (replacing the hand trace
+formulas at ``gaussianprocess.jl:165-226``). Parameter vector layout is
+``[log lengthscales..., log sigma, log noise]`` (``gaussianprocess.jl:147-161``),
+noise is ``exp(2 logNoise)`` (``:39``).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import EPS, as_2d, default_dtype
+from .kernels import KernelSpec, IsoSE, gram, gram_diag
+from .means import ConstMean, resolve_mean
+
+LOG2PI = float(np.log(2.0 * np.pi))
+
+
+def _unpack(kind, nl, theta):
+    logl = theta[:nl]
+    logsigma = theta[nl]
+    lognoise = theta[nl + 1]
+    return logl, logsigma, lognoise
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _fit(kind, nl, theta, x, yc):
+    logl, logsigma, lognoise = _unpack(kind, nl, theta)
+    K = gram(kind, logl, logsigma, x, x)
+    noise = jnp.exp(2.0 * lognoise)
+    Kn = K + (noise + EPS) * jnp.eye(x.shape[0], dtype=x.dtype)
+    Lf = jnp.linalg.cholesky(Kn)
+    z = jax.scipy.linalg.solve_triangular(Lf, yc, lower=True)
+    alpha = jax.scipy.linalg.solve_triangular(Lf.T, z, lower=False)
+    mll = -0.5 * (
+        yc @ alpha
+        + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lf)))
+        + x.shape[0] * LOG2PI
+    )
+    return Lf, alpha, mll
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _predict(kind, nl, full_cov, theta, x, yc, mean, Lf, alpha, xt):
+    logl, logsigma, lognoise = _unpack(kind, nl, theta)
+    Knt = gram(kind, logl, logsigma, x, xt)  # [N, T]
+    mu = mean + Knt.T @ alpha
+    V = jax.scipy.linalg.solve_triangular(Lf, Knt, lower=True)
+    noise = jnp.exp(2.0 * lognoise)
+    if full_cov:
+        Ktt = gram(kind, logl, logsigma, xt, xt)
+        Sigma = Ktt - V.T @ V + noise * jnp.eye(xt.shape[0], dtype=x.dtype)
+        return mu, Sigma
+    ktt = gram_diag(kind, logl, logsigma, xt)
+    var = ktt - jnp.sum(V * V, axis=0) + noise
+    return mu, var
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _mll(kind, nl, theta, x, yc):
+    return _fit(kind, nl, theta, x, yc)[2]
+
+
+_grad_mll = jax.jit(jax.grad(_mll, argnums=2), static_argnums=(0, 1))
+
+
+class GaussianProcess:
+    """Exact GP regression model (≙ ``GaussianProcess``,
+    ``gaussianprocess.jl:14-80``)."""
+
+    def __init__(
+        self,
+        x,
+        y,
+        mean: Optional[ConstMean] = None,
+        kernel: KernelSpec = None,
+        log_noise: float = float(np.log(7.0)),
+        dtype=None,
+        run_cholesky: bool = False,
+    ):
+        dtype = dtype or default_dtype()
+        self.kernel = kernel if kernel is not None else IsoSE(0.0, 0.0)
+        x = as_2d(x)
+        y = np.asarray(y, dtype=np.float64)
+        self.mean_value = resolve_mean(mean, y)
+        self.x = jnp.asarray(x, dtype=dtype)
+        self.yc = jnp.asarray(y - self.mean_value, dtype=dtype)
+        self.n, self.d = x.shape
+        # theta = [logl..., logsigma, lognoise]
+        self.theta = jnp.asarray(
+            list(self.kernel.logl) + [self.kernel.logsigma, log_noise], dtype=dtype
+        )
+        self._state = None
+        if run_cholesky:
+            self.fit()
+
+    # -- parameters (≙ params/setparams!, gaussianprocess.jl:141-161) -----
+    @property
+    def nl(self) -> int:
+        return self.kernel.n_lengthscales
+
+    def params(self):
+        """(log lengthscales, log sigma, log noise)."""
+        t = np.asarray(self.theta)
+        return t[: self.nl], float(t[self.nl]), float(t[self.nl + 1])
+
+    def set_params(self, theta):
+        self.theta = jnp.asarray(theta, dtype=self.x.dtype)
+        self._state = None
+
+    # -- fitting / inference ----------------------------------------------
+    def fit(self):
+        """≙ ``update_cholesky!`` (``gaussianprocess.jl:87-108``)."""
+        self._state = _fit(self.kernel.kind, self.nl, self.theta, self.x, self.yc)
+        return self
+
+    def _ensure(self):
+        if self._state is None:
+            self.fit()
+        return self._state
+
+    def mll(self) -> float:
+        """Marginal log-likelihood (≙ ``gaussianprocess.jl:163``)."""
+        return float(self._ensure()[2])
+
+    def grad_mll(self):
+        """Exact gradient of the mll w.r.t. the log-parameter vector
+        (autodiff; replaces ``∇mll!``, ``gaussianprocess.jl:192-217``)."""
+        return _grad_mll(self.kernel.kind, self.nl, self.theta, self.x, self.yc)
+
+    def predict(self, xt, full_cov: bool = False):
+        """Posterior prediction (≙ ``prediction``,
+        ``gaussianprocess.jl:110-137``). Returns ``(mu, var)`` or
+        ``(mu, Sigma)`` with observation noise on the diagonal."""
+        Lf, alpha, _ = self._ensure()
+        xt = jnp.asarray(as_2d(np.asarray(xt)), dtype=self.x.dtype)
+        return _predict(
+            self.kernel.kind, self.nl, full_cov, self.theta, self.x, self.yc,
+            self.mean_value, Lf, alpha, xt,
+        )

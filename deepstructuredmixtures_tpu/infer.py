@@ -1,0 +1,212 @@
+"""SPN evaluation: marginal likelihood, weight updates, prediction.
+
+Device-side, jit-friendly equivalents of the reference recursions in
+``src/common.jl`` and ``src/optimize.jl``, operating on the flattened
+``SPNPlan``:
+
+* ``upward`` — level-wise gather + segment-reduce pass computing every
+  node's value from the leaf values (≙ the ``mll``/``mll!`` recursions,
+  ``optimize.jl:18-39``: sum of children at split nodes, logsumexp of
+  ``-log K + child`` at sum nodes).
+* ``update_weights`` — posterior sum-weight update returning the root log
+  evidence (≙ ``update!``, ``common.jl:323-334``); ``infer_weights`` resets
+  internal sums to uniform and keeps only leaf-level (kernel-mixture) sums
+  posterior (≙ ``infer!``, ``common.jl:336-355``).
+* ``predict_dsmgp`` — exact mixture moment matching in log space with the
+  reference's ``μmin - 1`` shift trick (``common.jl:134-143,275-302``),
+  computed flat over (test point, leaf) pairs: a leaf is active for x iff
+  x lies in its half-open box (equivalent to the recursive ``getchild``
+  routing, ``common.jl:101-122``) and its mixture weight is the product of
+  the sum-node weights along its path.
+* ``predict_poe`` / ``predict_gpoe`` / ``predict_rbcm`` — precision-weighted
+  expert fusion (≙ ``common.jl:198-273``); gPoE uses ``β = 1/M`` with M the
+  number of root children and rBCM the prior-corrected β of Deisenroth & Ng
+  (2015), grouped per root child exactly as the reference recursion does.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import EPS
+from .leafgp import LeafBatch, LeafPosterior, leaf_predict
+from .plan import SPNPlan
+
+NEG_INF = -jnp.inf
+
+
+def _segment_logsumexp(x, seg, num_segments):
+    m = jax.ops.segment_max(x, seg, num_segments=num_segments,
+                            indices_are_sorted=True)
+    m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+    e = jnp.exp(x - m_safe[seg])
+    s = jax.ops.segment_sum(e, seg, num_segments=num_segments,
+                            indices_are_sorted=True)
+    return jnp.where(jnp.isfinite(m), m_safe + jnp.log(s), m)
+
+
+def upward(plan: SPNPlan, leaf_vals, logweights=None):
+    """All node values ``[num_slots]`` from leaf values ``[L]``.
+
+    With ``logweights=None`` sum nodes combine children with uniform
+    ``-log K`` (the mll semantics, ``optimize.jl:20-23``); otherwise with
+    the given flat edge log-weights (the weighted evaluation used by
+    prediction).
+    """
+    vals = leaf_vals
+    for g in plan.groups:
+        child = vals[g.child_slots]
+        if g.kind == "split":
+            new = jax.ops.segment_sum(
+                child, g.seg, num_segments=g.n_parents, indices_are_sorted=True
+            )
+        else:
+            if logweights is None:
+                w = jnp.asarray(g.neg_logk, dtype=vals.dtype)
+            else:
+                w = logweights[g.edge_ids]
+            new = _segment_logsumexp(child + w, g.seg, g.n_parents)
+        vals = jnp.concatenate([vals, new])
+    return vals
+
+
+def root_mll(plan: SPNPlan, leaf_mlls):
+    """Root marginal log-likelihood (≙ ``mll(model)``, ``optimize.jl:25``)."""
+    return upward(plan, leaf_mlls)[plan.root_slot]
+
+
+def update_weights(plan: SPNPlan, leaf_mlls):
+    """Posterior sum-node weights + root log evidence
+    (≙ ``update!``, ``common.jl:323-334``).
+
+    Every sum node's edge weights become
+    ``normalize(-log K + child mll)``; returns ``(logweights [E], z_root)``.
+    """
+    vals = upward(plan, leaf_mlls)
+    lw = jnp.zeros((max(plan.n_sum_edges, 1),), dtype=leaf_mlls.dtype)
+    for g in plan.groups:
+        if g.kind != "sum":
+            continue
+        child = vals[g.child_slots]
+        raw = child + jnp.asarray(g.neg_logk, dtype=vals.dtype)
+        z = _segment_logsumexp(raw, g.seg, g.n_parents)
+        lw = lw.at[g.edge_ids].set(raw - z[g.seg])
+    return lw, vals[plan.root_slot]
+
+
+def infer_weights(plan: SPNPlan, leaf_mlls):
+    """≙ ``infer!`` (``common.jl:336-355``): like ``update_weights`` but
+    internal sum nodes are reset to uniform; only leaf-level kernel-mixture
+    sums keep their posterior weights."""
+    lw, z = update_weights(plan, leaf_mlls)
+    is_leaf_sum = jnp.asarray(plan.edge_is_leaf_sum)
+    uniform = jnp.asarray(plan.edge_neg_logk, dtype=lw.dtype)
+    return jnp.where(is_leaf_sum, lw, uniform), z
+
+
+def reset_weights(plan: SPNPlan):
+    """Uniform ``-log K`` weights everywhere (≙ ``reset_weights!``,
+    ``common.jl:357-363``)."""
+    return jnp.asarray(plan.edge_neg_logk, dtype=jnp.asarray(plan.init_logweights).dtype)
+
+
+def leaf_membership(plan: SPNPlan, xt, dtype=None):
+    """Boolean activity mask ``[T, L]``: leaf active iff ``lb < x <= ub`` in
+    every dimension — equivalent to recursive split routing (``getchild``,
+    ``common.jl:101-122``) because split segments are half-open ``(lo, hi]``
+    and sum children share the parent box."""
+    lb = jnp.asarray(plan.leaf_lb, dtype=xt.dtype)  # [L, D]
+    ub = jnp.asarray(plan.leaf_ub, dtype=xt.dtype)
+    ok = (xt[:, None, :] > lb[None]) & (xt[:, None, :] <= ub[None])
+    return jnp.all(ok, axis=-1)
+
+
+def path_logweights(plan: SPNPlan, logweights):
+    """Per-leaf mixture log-weight = sum of sum-edge log-weights on the
+    root-to-leaf path ``[L]``."""
+    P = jnp.asarray(plan.path_matrix, dtype=logweights.dtype)
+    return P @ logweights
+
+
+def predict_dsmgp(
+    plan: SPNPlan,
+    mu: jnp.ndarray,  # [L, T] per-leaf predictive means
+    var: jnp.ndarray,  # [L, T] per-leaf predictive variances (incl. noise)
+    active: jnp.ndarray,  # [T, L] leaf activity mask
+    logweights: jnp.ndarray,  # [E]
+):
+    """Mixture moment matching in log space (≙ ``common.jl:275-302``).
+
+    Per test point: ``μ = Σ_l w_l μ_l`` and
+    ``v = Σ_l w_l σ²_l + Σ_l w_l μ_l² - μ²`` over active leaves, computed
+    via logsumexp with the reference's min-mean shift
+    (``_minpredict``/``μmin - 1``, ``common.jl:151-173,294-301``) for
+    stability and exact parity.
+    """
+    pw = path_logweights(plan, logweights)  # [L]
+    act = active.T  # [L, T]
+    var = jnp.maximum(var, EPS)  # variance floor (common.jl:137)
+
+    mu_min = jnp.min(jnp.where(act, mu, jnp.inf), axis=0)  # [T]
+    shift = mu_min - 1.0
+    w = jnp.where(act, pw[:, None], NEG_INF)  # [L, T]
+
+    lmu = w + jnp.log(mu - shift[None, :])
+    lmu2 = w + jnp.log(jnp.maximum(mu * mu, 0.0))
+    lvar = w + jnp.log(var)
+
+    lse = jax.scipy.special.logsumexp
+    lm = lse(lmu, axis=0)
+    lm2 = lse(lmu2, axis=0)
+    lv = lse(lvar, axis=0)
+
+    mean = jnp.exp(lm) + shift
+    v = jnp.exp(lv) + (jnp.exp(lm2) - mean * mean)
+    return mean, v
+
+
+def predict_poe(mu, var):
+    """Product-of-experts fusion over ALL experts (≙ ``_predictPoE`` +
+    ``predictPoE``, ``common.jl:145-149,198-208,256-260``)."""
+    t = 1.0 / var  # [L, T]
+    tsum = jnp.sum(t, axis=0)
+    mean = jnp.sum(t * mu, axis=0) / tsum
+    return mean, 1.0 / tsum
+
+
+def _group_poe(mu, var, group_ids, n_groups):
+    """Per-root-child PoE fusion: returns ``(mu_c [C, T], t_c [C, T])``."""
+    t = 1.0 / var
+    tw = jax.ops.segment_sum(t, group_ids, num_segments=n_groups)
+    mw = jax.ops.segment_sum(t * mu, group_ids, num_segments=n_groups)
+    return mw / tw, tw
+
+
+def predict_gpoe(plan: SPNPlan, mu, var):
+    """Generalized PoE with ``β = 1/M``, M = number of root children
+    (≙ ``_predictgPoE``, ``common.jl:211-222,263-267``)."""
+    gid = jnp.asarray(plan.root_child_id)
+    n_groups = int(plan.root_child_id.max()) + 1
+    mu_c, t_c = _group_poe(mu, var, gid, n_groups)
+    beta = 1.0 / n_groups
+    tsum = jnp.sum(beta * t_c, axis=0)
+    mean = jnp.sum(beta * t_c * mu_c, axis=0) / tsum
+    return mean, 1.0 / tsum
+
+
+def predict_rbcm(plan: SPNPlan, mu, var, prior_var):
+    """Robust Bayesian committee machine (≙ ``_predictrBCM``,
+    ``common.jl:224-241,269-273``). ``prior_var [T]`` is the prior variance
+    ``diag(k(x,x)) + noise`` of the first leaf GP (``common.jl:227-228``)."""
+    gid = jnp.asarray(plan.root_child_id)
+    n_groups = int(plan.root_child_id.max()) + 1
+    mu_c, t_c = _group_poe(mu, var, gid, n_groups)
+    s = prior_var[None, :]  # [1, T]
+    s_c = 1.0 / t_c
+    beta = 0.5 * (jnp.log(s) - jnp.log(s_c))  # [C, T]
+    C = 1.0 / prior_var + jnp.sum(beta * t_c - beta / s, axis=0)
+    mean = jnp.sum(mu_c * beta * t_c, axis=0) / C
+    return mean, 1.0 / C

@@ -1,0 +1,167 @@
+"""Covariance (kernel) functions as pure, batched JAX ops.
+
+TPU-native equivalent of the reference ``src/kernels.jl``. The reference
+implements four kernels (IsoSE/ArdSE/IsoLinear/ArdLinear,
+``kernels.jl:59,109,174,209``) as mutable structs with hand-written trace
+gradients; here each kernel is a pure function of a log-parameter pytree and
+hyper-gradients come from JAX autodiff (replacing ``updategradients!`` at
+``kernels.jl:85-99,146-164,196-200,234-246``).
+
+Semantics notes (deliberate parity decisions):
+
+* All kernels are parameterised in log scale. The reference's ``kappa`` for
+  Iso kernels uses ``l = getlengthscales()^2 = exp(2*logl)``
+  (``kernels.jl:22``), so ``IsoSE(x, x') = exp(2*logsigma) *
+  exp(-0.5*||x-x'||^2 * exp(-2*logl))`` — the standard SE kernel.
+* The reference's ARD kernels are **additive over dimensions**: its ARD
+  ``kernelmatrix!`` accumulates ``K += kappa_d(z_d)`` per dimension
+  (``kernels.jl:39-49`` with ``umap!`` at ``:31-37``), i.e.
+  ``ArdSE(x,x') = exp(2*logsigma) * sum_d exp(-0.5 (x_d-x'_d)^2 exp(-2 logl_d))``.
+  This differs from the textbook product-form ARD-SE; we replicate the
+  reference behaviour so that a reference user sees identical models.
+* Linear kernels carry no variance parameter; the parameter layout still
+  reserves a slot for it (reference ``params`` always returns
+  ``(lengthscales, variance, noise)``, ``gaussianprocess.jl:141-145``) and
+  ``setvariance!`` is a no-op (``kernels.jl:183,218``).
+* The reference's hand gradients for SE kernels carry a spurious extra
+  factor ``exp(logsigma)`` (``kernels.jl:85-99``: ``lmul!(σ, K)`` before the
+  trace products) and its ``ArdLinear`` gradient path references an undefined
+  variable (``kernels.jl:247``). We do NOT replicate those defects: autodiff
+  yields the exact log-marginal-likelihood gradients.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+KIND_ISO_SE = "iso_se"
+KIND_ARD_SE = "ard_se"
+KIND_ISO_LINEAR = "iso_linear"
+KIND_ARD_LINEAR = "ard_linear"
+
+_ALL_KINDS = (KIND_ISO_SE, KIND_ARD_SE, KIND_ISO_LINEAR, KIND_ARD_LINEAR)
+
+
+class KernelSpec(NamedTuple):
+    """Static kernel description + initial log-hyperparameters.
+
+    ``n_lengthscales`` is 1 for Iso kernels and D for ARD kernels; the packed
+    per-kernel hyper layout is ``[logl..., logsigma, lognoise]`` in log scale,
+    matching the reference parameter vector (``gaussianprocess.jl:147-161``).
+    """
+
+    kind: str
+    logl: tuple  # initial log lengthscales (length 1 or D)
+    logsigma: float  # initial log std (ignored by linear kernels)
+
+    @property
+    def n_lengthscales(self) -> int:
+        return len(self.logl)
+
+    @property
+    def n_params(self) -> int:
+        # [logl..., logsigma, lognoise] — variance slot always present
+        # (reference params() layout, gaussianprocess.jl:141-145).
+        return self.n_lengthscales + 2
+
+    @property
+    def has_variance(self) -> bool:
+        return self.kind in (KIND_ISO_SE, KIND_ARD_SE)
+
+
+def IsoSE(logl: float, logsigma: float) -> KernelSpec:
+    """Isotropic squared-exponential kernel (reference ``kernels.jl:59-66``)."""
+    return KernelSpec(KIND_ISO_SE, (float(logl),), float(logsigma))
+
+
+def ArdSE(logl: Sequence[float], logsigma: float) -> KernelSpec:
+    """ARD (additive-over-dims) SE kernel (reference ``kernels.jl:109-116``)."""
+    return KernelSpec(KIND_ARD_SE, tuple(float(v) for v in logl), float(logsigma))
+
+
+def IsoLinear(logl: float) -> KernelSpec:
+    """Isotropic linear kernel (reference ``kernels.jl:174-179``)."""
+    return KernelSpec(KIND_ISO_LINEAR, (float(logl),), 0.0)
+
+
+def ArdLinear(logl: Sequence[float]) -> KernelSpec:
+    """ARD linear kernel (reference ``kernels.jl:209-214``)."""
+    return KernelSpec(KIND_ARD_LINEAR, tuple(float(v) for v in logl), 0.0)
+
+
+def _sqdist(x1, x2):
+    """Pairwise squared Euclidean distances [N, M] via the MXU-friendly
+    inner-product expansion (reference uses Distances.SqEuclidean,
+    ``kernels.jl:83``)."""
+    n1 = jnp.sum(x1 * x1, axis=-1)
+    n2 = jnp.sum(x2 * x2, axis=-1)
+    cross = x1 @ x2.T
+    d = n1[:, None] + n2[None, :] - 2.0 * cross
+    return jnp.maximum(d, 0.0)
+
+
+def gram(kind: str, logl, logsigma, x1, x2):
+    """Kernel Gram matrix ``k(x1, x2)`` of shape [N, M].
+
+    ``kind`` is a static Python string; ``logl`` has shape [1] (iso) or [D]
+    (ard); ``logsigma`` is a scalar. Pure and differentiable in the
+    log-parameters. Batched across leaves via ``jax.vmap``.
+    """
+    if kind == KIND_ISO_SE:
+        r2 = _sqdist(x1, x2)
+        inv_l2 = jnp.exp(-2.0 * logl[0])
+        return jnp.exp(2.0 * logsigma) * jnp.exp(-0.5 * r2 * inv_l2)
+    if kind == KIND_ARD_SE:
+        # Additive over dimensions (see module docstring).
+        diff2 = (x1[:, None, :] - x2[None, :, :]) ** 2  # [N, M, D]
+        inv_l2 = jnp.exp(-2.0 * logl)  # [D]
+        terms = jnp.exp(-0.5 * diff2 * inv_l2)
+        return jnp.exp(2.0 * logsigma) * jnp.sum(terms, axis=-1)
+    if kind == KIND_ISO_LINEAR:
+        # kappa(z) = z / exp(2 logl), z = <x, x'> (kernels.jl:189,194 with
+        # the IsoKernel l = lengthscale^2 convention at kernels.jl:22).
+        return (x1 @ x2.T) * jnp.exp(-2.0 * logl[0])
+    if kind == KIND_ARD_LINEAR:
+        # sum_d x_d x'_d / exp(2 logl_d) — additive per-dim outer products
+        # (kernels.jl:232,234-246).
+        scaled = x1 * jnp.exp(-2.0 * logl)
+        return scaled @ x2.T
+    raise ValueError(f"unknown kernel kind {kind!r}; expected one of {_ALL_KINDS}")
+
+
+def gram_diag(kind: str, logl, logsigma, x):
+    """Diagonal ``k(x_i, x_i)`` of shape [N] without forming the full matrix."""
+    if kind == KIND_ISO_SE:
+        return jnp.full(x.shape[:-1], jnp.exp(2.0 * logsigma), dtype=x.dtype)
+    if kind == KIND_ARD_SE:
+        d = logl.shape[-1]
+        return jnp.full(x.shape[:-1], jnp.exp(2.0 * logsigma) * d, dtype=x.dtype)
+    if kind == KIND_ISO_LINEAR:
+        return jnp.sum(x * x, axis=-1) * jnp.exp(-2.0 * logl[0])
+    if kind == KIND_ARD_LINEAR:
+        return jnp.sum(x * x * jnp.exp(-2.0 * logl), axis=-1)
+    raise ValueError(f"unknown kernel kind {kind!r}")
+
+
+def init_params(spec: KernelSpec, dtype=None) -> dict:
+    """Initial parameter pytree ``{'logl': [nl], 'logsigma': scalar}``."""
+    dtype = dtype or jnp.float64
+    return {
+        "logl": jnp.asarray(np.asarray(spec.logl), dtype=dtype),
+        "logsigma": jnp.asarray(spec.logsigma, dtype=dtype),
+    }
+
+
+def normalize_kernels(kernels) -> tuple:
+    """Return a tuple of KernelSpec (the reference allows a single kernel or a
+    Vector of kernels for leaf-level kernel mixtures,
+    ``DeepStructuredMixtures.jl:93``, ``treeStructure.jl:258-286``)."""
+    if isinstance(kernels, KernelSpec):
+        return (kernels,)
+    ks = tuple(kernels)
+    for k in ks:
+        if not isinstance(k, KernelSpec):
+            raise TypeError(f"expected KernelSpec, got {k!r}")
+    return ks

@@ -1,0 +1,394 @@
+"""User-facing model wrappers and builders.
+
+Equivalents of the reference model structs ``DSMGP/PoE/gPoE/rBCM``
+(``DeepStructuredMixtures.jl:108-130``) and the public builders
+``buildDSMGP/buildPoE/buildBCM`` (``treeStructure.jl:328-437``). Each model
+holds the compiled static plan, the padded leaf batch, the flat tied hyper
+vector, the flat sum-edge log-weights, and a cached batched posterior.
+
+Argument-name note: the reference's ``buildDSMGP(x, y, K, V)`` internally
+swaps K and V (``treeStructure.jl:405-418``); following its README usage we
+take ``V`` = children per sum node and ``K`` = splits per split node,
+unambiguously.
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import fit as fitlib
+from . import infer as inferlib
+from .config import DSMGPConfig, as_2d, default_dtype
+from .gp import GaussianProcess  # re-export
+from .hyper import initial_vector, make_layout
+from .kernels import IsoSE, gram_diag, normalize_kernels
+from .leafgp import LeafPosterior, leaf_predict
+from .plan import build_schedule, compile_tree
+from .tree import build_tree, num_mixtures, stats
+
+__all__ = [
+    "DSMGP",
+    "PoE",
+    "GPoE",
+    "RBCM",
+    "GaussianProcess",
+    "build_dsmgp",
+    "build_poe",
+    "build_bcm",
+]
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+class BaseModel:
+    """Shared state/behaviour of all tree-of-experts models."""
+
+    def __init__(self, root, plan, schedule, layout, batch, theta, dtype,
+                 X=None, y=None):
+        self.root = root  # host-side tree (introspection/plotting)
+        self.X = X  # raw training inputs (≙ getx, common.jl:315-317)
+        self.y = y  # raw training targets (≙ gety, common.jl:319-321)
+        self.plan = plan
+        self.schedule = schedule
+        self.layout = layout
+        self.batch = batch
+        self.dtype = dtype
+        self.theta = jnp.asarray(theta, dtype=dtype)
+        self.logweights = jnp.asarray(plan.init_logweights, dtype=dtype)
+        self.posterior: Optional[LeafPosterior] = None
+        self._jit_cache = {}
+
+    # -- overlap matrix / mapping (≙ model.D, model.gpmap) ----------------
+    @property
+    def D(self) -> np.ndarray:
+        return self.plan.overlap
+
+    @property
+    def num_leaves(self) -> int:
+        return self.plan.num_leaves
+
+    def num_mixtures(self) -> int:
+        return num_mixtures(self.root)
+
+    def stats(self) -> dict:
+        return stats(self.root)
+
+    # -- fitting ------------------------------------------------------------
+    def _fit_fn(self, method, safe):
+        key = ("fit", method, safe)
+        if key not in self._jit_cache:
+            layout, schedule = self.layout, self.schedule
+
+            def f(theta, batch):
+                return fitlib.fit(
+                    layout, theta, batch, schedule=schedule, method=method,
+                    safe=safe,
+                )
+
+            self._jit_cache[key] = jax.jit(f)
+        return self._jit_cache[key]
+
+    def fit(self, method: str = "auto", safe: bool = True) -> float:
+        """Refit all leaf posteriors; returns wall-clock seconds like the
+        reference ``fit!`` (``fit.jl:88,121``)."""
+        t0 = time.perf_counter()
+        post = self._fit_fn(method, safe)(self.theta, self.batch)
+        jax.block_until_ready(post.mll)
+        self.posterior = post
+        return time.perf_counter() - t0
+
+    def fit_naive(self) -> float:
+        """≙ ``fit_naive!`` (``fit.jl:294-304``)."""
+        return self.fit(method="batched")
+
+    def _ensure_posterior(self) -> LeafPosterior:
+        if self.posterior is None:
+            self.fit()
+        return self.posterior
+
+    # -- likelihood / weights -------------------------------------------------
+    def mll(self) -> float:
+        """Root marginal log-likelihood with uniform sum weights
+        (≙ ``mll(model)``, ``optimize.jl:18-25``)."""
+        post = self._ensure_posterior()
+        return float(inferlib.root_mll(self.plan, post.mll))
+
+    def leaf_mlls(self) -> jnp.ndarray:
+        return self._ensure_posterior().mll
+
+    def update(self) -> float:
+        """Posterior weight update; returns root log evidence
+        (≙ ``update!``, ``common.jl:323-334``)."""
+        post = self._ensure_posterior()
+        lw, z = inferlib.update_weights(self.plan, post.mll)
+        self.logweights = lw
+        return float(z)
+
+    def infer(self) -> float:
+        """≙ ``infer!`` (``common.jl:336-355``)."""
+        post = self._ensure_posterior()
+        lw, z = inferlib.infer_weights(self.plan, post.mll)
+        self.logweights = lw
+        return float(z)
+
+    def reset_weights(self):
+        """≙ ``reset_weights!`` (``common.jl:357-363``)."""
+        self.logweights = inferlib.reset_weights(self.plan)
+
+    # -- parameters -----------------------------------------------------------
+    def get_params(self) -> np.ndarray:
+        """Flat tied hyper vector ``[logl..., logsigma, lognoise]`` per
+        kernel (≙ ``params(leftGP(root), logscale=true)``,
+        README warm-start workflow)."""
+        return np.asarray(self.theta)
+
+    def set_params(self, theta):
+        """≙ ``setparams!(root, hyp)`` (``optimize.jl:188-198``)."""
+        self.theta = jnp.asarray(theta, dtype=self.dtype)
+        self.posterior = None
+
+    # -- prediction helpers -----------------------------------------------
+    def _leaf_predict_all(self, xt):
+        """Per-leaf predictions at shared test points: ``(mu, var) [L, T]``."""
+        post = self._ensure_posterior()
+        key = "predict_all"
+        if key not in self._jit_cache:
+            layout, = (self.layout,)
+
+            def f(theta, batch, post, xt):
+                return leaf_predict(layout, theta, batch, post, xt)
+
+            self._jit_cache[key] = jax.jit(f)
+        return self._jit_cache[key](self.theta, self.batch, post, xt)
+
+    def _as_test(self, xt):
+        return jnp.asarray(as_2d(np.asarray(xt)), dtype=self.dtype)
+
+
+class DSMGP(BaseModel):
+    """Deep structured mixture of GPs (≙ ``DSMGP`` wrapper,
+    ``DeepStructuredMixtures.jl:108-112``)."""
+
+    def predict(self, xt):
+        """Routed exact mixture prediction ``(mean [T], var [T])``
+        (≙ ``predict(::DSMGP)``, ``common.jl:294-304``).
+
+        Test points are routed host-side to their active leaves (box
+        membership ≙ ``getchild`` recursion), the active per-leaf
+        predictions run as one padded batch, and moment matching happens in
+        log space with the reference's μmin−1 shift.
+        """
+        xt_np = as_2d(np.asarray(xt))
+        T = xt_np.shape[0]
+        member = np.asarray(
+            inferlib.leaf_membership(self.plan, jnp.asarray(xt_np, self.dtype))
+        ).T  # [L, T]
+        tcnt = member.sum(axis=1)
+        tmax = max(_round_up(int(tcnt.max()), 8), 8)
+        L = self.num_leaves
+        tidx = np.zeros((L, tmax), dtype=np.int32)
+        tmask = np.zeros((L, tmax), dtype=bool)
+        for l in range(L):
+            idx = np.where(member[l])[0]
+            tidx[l, : idx.size] = idx
+            tmask[l, : idx.size] = True
+
+        post = self._ensure_posterior()
+        key = ("predict_routed", tmax, T)
+        if key not in self._jit_cache:
+            layout, plan = self.layout, self.plan
+
+            def f(theta, batch, post, lw, xt, tidx, tmask):
+                xt_leaf = xt[tidx]  # [L, tmax, D]
+                mu, var = leaf_predict(layout, theta, batch, post, xt_leaf)
+                return _routed_moment_match(
+                    plan, mu, var, lw, tidx, tmask, T
+                )
+
+            self._jit_cache[key] = jax.jit(f)
+        mean, var = self._jit_cache[key](
+            self.theta, self.batch, post, self.logweights,
+            jnp.asarray(xt_np, self.dtype), jnp.asarray(tidx), jnp.asarray(tmask),
+        )
+        return mean, var
+
+
+def _routed_moment_match(plan, mu, var, logweights, tidx, tmask, T):
+    """Log-space mixture moment matching over routed (leaf, point) pairs
+    (≙ ``common.jl:275-302``)."""
+    from .config import EPS
+
+    pw = inferlib.path_logweights(plan, logweights)  # [L]
+    var = jnp.maximum(var, EPS)
+    seg = tidx.reshape(-1)
+    msk = tmask.reshape(-1)
+    muf = mu.reshape(-1)
+    varf = var.reshape(-1)
+    wf = jnp.broadcast_to(pw[:, None], mu.shape).reshape(-1)
+
+    inf = jnp.asarray(jnp.inf, dtype=mu.dtype)
+    mu_min = jax.ops.segment_min(
+        jnp.where(msk, muf, inf), seg, num_segments=T
+    )
+    shift = mu_min - 1.0
+    w = jnp.where(msk, wf, -inf)
+
+    def seg_lse(x):
+        m = jax.ops.segment_max(jnp.where(msk, x, -inf), seg, num_segments=T)
+        m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
+        e = jnp.where(msk, jnp.exp(x - m_safe[seg]), 0.0)
+        s = jax.ops.segment_sum(e, seg, num_segments=T)
+        return m_safe + jnp.log(s)
+
+    lmu = seg_lse(w + jnp.log(muf - shift[seg]))
+    lmu2 = seg_lse(w + jnp.log(jnp.maximum(muf * muf, 1e-300)))
+    lvar = seg_lse(w + jnp.log(varf))
+
+    mean = jnp.exp(lmu) + shift
+    v = jnp.exp(lvar) + (jnp.exp(lmu2) - mean * mean)
+    return mean, v
+
+
+class PoE(BaseModel):
+    """Product of experts (≙ ``PoE``, ``DeepStructuredMixtures.jl:114-118``)."""
+
+    def predict(self, xt):
+        xt = self._as_test(xt)
+        mu, var = self._leaf_predict_all(xt)
+        return inferlib.predict_poe(mu, var)
+
+
+class GPoE(BaseModel):
+    """Generalized PoE (≙ ``gPoE``, ``DeepStructuredMixtures.jl:120-124``)."""
+
+    def predict(self, xt):
+        xt = self._as_test(xt)
+        mu, var = self._leaf_predict_all(xt)
+        return inferlib.predict_gpoe(self.plan, mu, var)
+
+
+class RBCM(BaseModel):
+    """Robust Bayesian committee machine (≙ ``rBCM``,
+    ``DeepStructuredMixtures.jl:126-130``)."""
+
+    def predict(self, xt):
+        xt = self._as_test(xt)
+        mu, var = self._leaf_predict_all(xt)
+        # Prior variance of the first (leftmost) leaf GP
+        # (≙ leftGP + kernelmatrix diag + noise, common.jl:227-228).
+        from .hyper import unpack, noise_from
+
+        kid = int(self.plan.leaf_kernelid[0])
+        logl, logsigma, lognoise = unpack(self.layout, self.theta, kid)
+        prior = gram_diag(self.layout.kinds[kid], logl, logsigma, xt) + noise_from(
+            lognoise
+        )
+        return inferlib.predict_rbcm(self.plan, mu, var, prior)
+
+
+def _build_common(x, y, config: DSMGPConfig, seed, dtype, tau, pad_multiple=8):
+    dtype = dtype or default_dtype()
+    x = as_2d(x)
+    y = np.asarray(y, dtype=np.float64).reshape(-1)
+    rng = np.random.default_rng(seed)
+    root = build_tree(x, y, config, rng)
+    plan = compile_tree(root, x, pad_multiple=pad_multiple)
+    schedule = build_schedule(plan, tau=tau)
+    batch = plan.leaf_batch(x, y, dtype)
+    kernels = normalize_kernels(config.kernels)
+    layout = make_layout(kernels)
+    theta = initial_vector(kernels, config.observation_noise)
+    return root, plan, schedule, layout, batch, theta, dtype, x, y
+
+
+def build_dsmgp(
+    x,
+    y,
+    V: int = 3,
+    K: int = 4,
+    *,
+    eps: float = 0.5,
+    M: int = 30,
+    depth: int = 2,
+    kernel=None,
+    mean_fun=None,
+    log_noise: float = 1.0,
+    sum_root: bool = True,
+    tau: float = 0.05,
+    seed=None,
+    dtype=None,
+    do_fit: bool = True,
+) -> DSMGP:
+    """Build a DSMGP (≙ ``buildDSMGP``, ``treeStructure.jl:328-339``).
+
+    ``V``: children per sum node; ``K``: splits per split node; ``eps``:
+    split-position noise; ``M``: min observations per expert; ``depth``:
+    max sum depth.
+    """
+    kernel = kernel if kernel is not None else IsoSE(1.0, 1.0)
+    config = DSMGPConfig(mean_fun, kernel, log_noise, M, K, V, depth, eps, sum_root)
+    model = DSMGP(*_build_common(x, y, config, seed, dtype, tau))
+    if do_fit:
+        model.fit()  # initial posterior fit (≙ treeStructure.jl:434)
+    return model
+
+
+def build_poe(
+    x,
+    y,
+    K: int = 4,
+    *,
+    generalized: bool = False,
+    eps: float = 0.0,
+    M: int = 30,
+    depth: int = 2,
+    kernel=None,
+    mean_fun=None,
+    log_noise: float = 1.0,
+    tau: float = 0.05,
+    seed=None,
+    dtype=None,
+    do_fit: bool = True,
+):
+    """Build a (generalized) product of experts
+    (≙ ``buildPoE``, ``treeStructure.jl:360-371``): split-only tree with
+    ``K`` splits per node."""
+    kernel = kernel if kernel is not None else IsoSE(1.0, 1.0)
+    config = DSMGPConfig(mean_fun, kernel, log_noise, M, K, 1, depth, eps, False)
+    cls = GPoE if generalized else PoE
+    model = cls(*_build_common(x, y, config, seed, dtype, tau))
+    if do_fit:
+        model.fit()
+    return model
+
+
+def build_bcm(
+    x,
+    y,
+    K: int = 4,
+    *,
+    eps: float = 0.0,
+    M: int = 30,
+    depth: int = 2,
+    kernel=None,
+    mean_fun=None,
+    log_noise: float = 1.0,
+    tau: float = 0.05,
+    seed=None,
+    dtype=None,
+    do_fit: bool = True,
+) -> RBCM:
+    """Build a robust Bayesian committee machine
+    (≙ ``buildBCM``, ``treeStructure.jl:392-403``)."""
+    kernel = kernel if kernel is not None else IsoSE(1.0, 1.0)
+    config = DSMGPConfig(mean_fun, kernel, log_noise, M, K, 1, depth, eps, False)
+    model = RBCM(*_build_common(x, y, config, seed, dtype, tau))
+    if do_fit:
+        model.fit()
+    return model

@@ -1,0 +1,214 @@
+"""Masked / batched dense linear algebra for padded leaf-GP batches.
+
+TPU-native replacement for the reference's L0 layer: direct LAPACK/BLAS
+calls (``potrf!`` at ``gaussianprocess.jl:101``, triangular solves at
+``gaussianprocess.jl:105,120``) and the ``AdvancedCholesky`` factor-reuse
+toolkit (``src/AdvancedCholeskey.jl``):
+
+* ``masked_cholesky`` — batched Cholesky over ``[..., Nmax, Nmax]`` with
+  per-leaf valid-size masks (padding rows become identity, so the factor,
+  log-determinant and solves of padded leaves are exact no-ops).
+* ``givens_delete_rows`` — remove interior rows/columns from a lower Cholesky
+  factor by Givens rank-1 updates. This is the *intended* behaviour of the
+  reference ``AdvancedCholesky.lowrankupdate!`` (``AdvancedCholeskey.jl:15-59``).
+  NOTE: the reference call sites in ``fit.jl:182-185,263-266`` pass the
+  matrix *row* (which after ``potrf!('L')`` still holds raw kernel entries)
+  instead of the factor column, and the sweep loop bound is ``k:length(v)``
+  instead of ``k:n`` — both defects make its updates numerically wrong for
+  interior rows. We implement the mathematically correct update (rotate the
+  trailing factor against the deleted row's sub-diagonal column) and verify
+  against from-scratch Cholesky oracles, generalizing the reference's own
+  self-test ``lrtest`` (``AdvancedCholeskey.jl:61-110``).
+* ``chol_continue`` — resume a partially computed lower Cholesky from row
+  ``P`` (≙ ``chol_continue!`` ``AdvancedCholeskey.jl:152-174``: trsm +
+  syrk + potrf of the trailing block), expressed with static shapes and a
+  dynamic ``P`` via masking so it vmaps across leaves.
+
+All functions are pure, differentiable where meaningful, and shaped for
+``jax.vmap`` over a leaf axis.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _eye_like(K):
+    n = K.shape[-1]
+    return jnp.eye(n, dtype=K.dtype)
+
+
+def pad_identity(K, mask):
+    """Replace padded rows/cols of a covariance with identity.
+
+    ``K [..., N, N]``, ``mask [..., N]`` boolean valid-row mask. Padded
+    diagonal entries become 1 and padded off-diagonals 0, so downstream
+    Cholesky/solve/logdet treat padding as an exact no-op.
+    """
+    m2 = mask[..., :, None] & mask[..., None, :]
+    return jnp.where(m2, K, _eye_like(K))
+
+
+def masked_gram_noise(K, mask, noise, eps):
+    """Add ``noise + eps`` to the valid diagonal and identity-pad.
+
+    ≙ reference ``update_cholesky!`` noise add (``gaussianprocess.jl:94-98``)
+    with the global jitter ``ϵ`` (``DeepStructuredMixtures.jl:27``).
+    ``noise`` broadcasts over the batch (scalar or [...]-shaped).
+    """
+    n = K.shape[-1]
+    eye = _eye_like(K)
+    noise = jnp.asarray(noise, dtype=K.dtype)
+    Kn = K + (noise[..., None, None] + eps) * eye
+    return pad_identity(Kn, mask)
+
+
+def masked_cholesky(K, mask):
+    """Lower Cholesky of an identity-padded covariance batch."""
+    return jnp.linalg.cholesky(pad_identity(K, mask))
+
+
+def cho_solve_lower(L, y):
+    """Solve ``(L L^T) x = y`` given lower ``L`` — the alpha weights
+    (Rasmussen & Williams Alg. 2.1; reference ``gaussianprocess.jl:105``)."""
+    y2 = y[..., None]
+    z = lax.linalg.triangular_solve(L, y2, left_side=True, lower=True)
+    x = lax.linalg.triangular_solve(
+        L, z, left_side=True, lower=True, transpose_a=True
+    )
+    return x[..., 0]
+
+
+def solve_lower(L, B):
+    """Triangular solve ``L^{-1} B`` (≙ ``gp.cK.L \\ Knt``,
+    ``gaussianprocess.jl:120``)."""
+    return lax.linalg.triangular_solve(L, B, left_side=True, lower=True)
+
+
+def masked_logdet(L, mask):
+    """``logdet(L L^T) = 2 sum log diag(L)`` over valid rows only."""
+    d = jnp.diagonal(L, axis1=-2, axis2=-1)
+    ld = jnp.where(mask, jnp.log(jnp.where(mask, d, 1.0)), 0.0)
+    return 2.0 * jnp.sum(ld, axis=-1)
+
+
+def _givens(a, b):
+    """Real Givens rotation with non-negative r (LAPACK dlartg semantics for
+    the real case used by ``LinearAlgebra.givensAlgorithm`` at
+    ``AdvancedCholeskey.jl:34``)."""
+    r = jnp.hypot(a, b)
+    safe = r > 0
+    c = jnp.where(safe, a / jnp.where(safe, r, 1.0), 1.0)
+    s = jnp.where(safe, b / jnp.where(safe, r, 1.0), 0.0)
+    return c, s, r
+
+
+def givens_delete_one(Lf, r):
+    """Delete row/column ``r`` from lower Cholesky factor ``Lf [N, N]``.
+
+    After the call, the sub-factor on indices ``!= r`` (rows/cols ``r``
+    logically dropped) is the Cholesky factor of the original matrix with
+    row/col ``r`` removed. Row/col ``r`` itself is left in place (caller
+    gathers the kept indices), matching how the reference slices
+    ``CC[idx, idx]`` after its updates (``fit.jl:195``).
+
+    The update: for the trailing block, ``L33' L33'^T = L33 L33^T + v v^T``
+    with ``v = Lf[r+1:, r]`` — a Givens rank-1 *update* sweep, O(N^2).
+    Padded identity rows are invariant.
+    """
+    n = Lf.shape[-1]
+    idx = jnp.arange(n)
+    # v = column r below the diagonal, zero elsewhere.
+    v = jnp.where(idx > r, Lf[:, r], 0.0)
+
+    def body(i, carry):
+        Lf, v = carry
+        active = i > r
+        a = Lf[i, i]
+        b = v[i]
+        c, s, rho = _givens(a, b)
+        c = jnp.where(active, c, 1.0)
+        s = jnp.where(active, s, 0.0)
+        rho = jnp.where(active, rho, a)
+        col = Lf[:, i]
+        below = idx > i
+        new_col = jnp.where(below, c * col + s * v, col)
+        new_v = jnp.where(below, -s * col + c * v, v)
+        new_col = new_col.at[i].set(rho)
+        Lf = Lf.at[:, i].set(new_col)
+        return Lf, new_v
+
+    Lf, _ = lax.fori_loop(0, n, body, (Lf, v))
+    return Lf
+
+
+def givens_delete_rows(Lf, del_idx, n_del):
+    """Delete up to ``len(del_idx)`` rows from a lower factor.
+
+    ``del_idx [Dmax]`` int array of row positions (ascending, padded with
+    anything), ``n_del`` scalar count of valid entries. Deletions beyond
+    ``n_del`` are skipped. ≙ the reference's per-row update loop in
+    ``fit.jl:179-187`` (with the corrected update; see module docstring).
+    """
+    dmax = del_idx.shape[0]
+
+    def body(k, Lf):
+        r = del_idx[k]
+        return lax.cond(k < n_del, lambda M: givens_delete_one(M, r), lambda M: M, Lf)
+
+    return lax.fori_loop(0, dmax, body, Lf)
+
+
+def chol_continue(A, Ltop, P):
+    """Resume a lower Cholesky from row ``P``.
+
+    ``A [N, N]``: full symmetric covariance (identity-padded);
+    ``Ltop [N, N]``: matrix whose leading ``P x P`` block is the
+    already-known lower factor of ``A[:P, :P]``; ``P``: scalar (dynamic)
+    number of already-factored rows.
+
+    Returns the full lower factor ``L`` with
+    ``L21 = A21 L11^{-T}`` and ``L22 = chol(A22 - L21 L21^T)``
+    (≙ trsm + syrk + potrf in ``AdvancedCholeskey.jl:158-171``), built with
+    static shapes via masking so it can be vmapped across leaves with
+    different ``P``.
+    """
+    n = A.shape[-1]
+    idx = jnp.arange(n)
+    in_p = idx < P
+    eye = _eye_like(A)
+    both_p = in_p[:, None] & in_p[None, :]
+    neither_p = (~in_p)[:, None] & (~in_p)[None, :]
+
+    # Lt = [[L11, 0], [0, I]]
+    Lt = jnp.where(both_p, Ltop, eye)
+    Lt = jnp.tril(Lt)
+
+    # T = Lt^{-1} A ; rows < P hold L11^{-1} [A11 A12].
+    T = lax.linalg.triangular_solve(Lt, A, left_side=True, lower=True)
+
+    # S = A - U^T U with U = rows<P of T: the (P:, P:) block equals
+    # A22 - L21 L21^T.
+    U = jnp.where(in_p[:, None], T, 0.0)
+    S = A - U.T @ U
+    Shat = jnp.where(neither_p, S, eye)
+    L22 = jnp.linalg.cholesky(Shat)
+
+    # Assemble: leading block from Ltop, L21 = (rows<P, cols>=P of T)^T,
+    # trailing block from L22.
+    cross = in_p[:, None] & (~in_p)[None, :]
+    L21 = jnp.where(cross, T, 0.0).T
+    Lout = jnp.where(both_p, jnp.tril(Ltop), 0.0) + L21 + jnp.where(neither_p, L22, 0.0)
+    return Lout
+
+
+def factor_is_valid(L, mask):
+    """PSD sanity check: finite, non-negative diagonal on valid rows.
+
+    ≙ the reference's fallback guards ``all(diag(...) .>= 0)`` and LAPACK
+    ``info == 0`` (``fit.jl:197-201,280-290``).
+    """
+    d = jnp.diagonal(L, axis1=-2, axis2=-1)
+    ok = jnp.isfinite(d) & (d >= 0)
+    return jnp.all(jnp.where(mask, ok, True), axis=-1)

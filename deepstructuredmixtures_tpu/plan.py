@@ -1,0 +1,427 @@
+"""Structure compiler: flatten the host-side SPN tree into a static plan.
+
+The reference walks a pointer-based node graph at every operation
+(``common.jl``, ``optimize.jl``). Here the tree is compiled ONCE into flat
+index arrays so that every device operation (mll upward pass, weight update,
+prediction, training step) is a single jitted program:
+
+* leaves become one padded ``LeafBatch`` (``leafgp.py``);
+* internal nodes become height-ordered *upward groups* evaluated with
+  gather + segment-reduce (sum at split nodes, weighted logsumexp at sum
+  nodes) — the level-wise equivalent of the ``mll``/``update!`` recursions
+  (``optimize.jl:18-39``, ``common.jl:323-355``);
+* each sum-node edge gets a global id into a flat ``logweights`` vector;
+* each leaf stores its root-to-leaf sum-edge path (for mixture prediction)
+  and its bounding box (for split routing, ≙ ``getchild``,
+  ``common.jl:101-122``);
+* the leaf-overlap matrix ``D`` (≙ ``getOverlap``, ``fit.jl:12-39``) and the
+  shared-Cholesky schedule (≙ the dynamic case analysis in
+  ``fit.jl:67-292``) are precomputed host-side.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .kernels import KernelSpec
+from .leafgp import LeafBatch
+from .tree import LeafNode, SplitNode, SumNode, TreeNode, get_leaves
+
+
+@dataclasses.dataclass(frozen=True)
+class UpwardGroup:
+    """One (height, kind) batch of internal nodes for the upward pass."""
+
+    kind: str  # 'sum' | 'split'
+    child_slots: np.ndarray  # [E] value-slot index of each child
+    seg: np.ndarray  # [E] local parent index (ascending)
+    n_parents: int
+    edge_ids: np.ndarray  # [E] global sum-edge ids (sum groups; -1 for split)
+    neg_logk: np.ndarray  # [E] -log(#children of parent) (sum groups)
+
+
+@dataclasses.dataclass(frozen=True)
+class SPNPlan:
+    """Static compiled model structure."""
+
+    num_leaves: int
+    nmax: int
+    dim: int
+    leaf_obs: Tuple[np.ndarray, ...]
+    leaf_lb: np.ndarray  # [L, D]
+    leaf_ub: np.ndarray  # [L, D]
+    leaf_kernelid: np.ndarray  # [L]
+    leaf_mean: np.ndarray  # [L]
+    groups: Tuple[UpwardGroup, ...]
+    num_slots: int
+    root_slot: int
+    n_sum_edges: int
+    init_logweights: np.ndarray  # [E]
+    edge_is_leaf_sum: np.ndarray  # [E] bool
+    edge_neg_logk: np.ndarray  # [E]
+    path_matrix: np.ndarray  # [L, E] 0/1 — sum edges on each leaf's path
+    root_child_id: np.ndarray  # [L] subtree index under a split root
+    overlap: np.ndarray  # [L, L] — the D matrix
+
+    def leaf_batch(self, X: np.ndarray, y: np.ndarray, dtype) -> LeafBatch:
+        """Gather the padded leaf data arrays from the global dataset."""
+        L, Nmax, D = self.num_leaves, self.nmax, self.dim
+        xb = np.zeros((L, Nmax, D), dtype=np.float64)
+        yb = np.zeros((L, Nmax), dtype=np.float64)
+        mb = np.zeros((L, Nmax), dtype=bool)
+        nb = np.zeros((L,), dtype=np.int32)
+        for i, obs in enumerate(self.leaf_obs):
+            n = obs.size
+            xb[i, :n] = X[obs]
+            yb[i, :n] = y[obs]
+            mb[i, :n] = True
+            nb[i] = n
+        return LeafBatch(
+            x=jnp.asarray(xb, dtype=dtype),
+            y=jnp.asarray(yb, dtype=dtype),
+            mask=jnp.asarray(mb),
+            n=jnp.asarray(nb),
+            mean=jnp.asarray(self.leaf_mean, dtype=dtype),
+            kernelid=jnp.asarray(self.leaf_kernelid, dtype=jnp.int32),
+        )
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def compile_tree(
+    root: TreeNode,
+    X: np.ndarray,
+    pad_multiple: int = 8,
+) -> SPNPlan:
+    N, D = X.shape
+    leaves = get_leaves(root)
+    for i, leaf in enumerate(leaves):
+        leaf.index = i
+    L = len(leaves)
+    nmax = _round_up(max(int(l.obs.size) for l in leaves), pad_multiple)
+
+    # --- heights -------------------------------------------------------
+    heights = {}
+
+    def height(node) -> int:
+        key = id(node)
+        if key in heights:
+            return heights[key]
+        if isinstance(node, LeafNode):
+            h = 0
+        else:
+            h = 1 + max(height(c) for c in node.children)
+        heights[key] = h
+        return h
+
+    height(root)
+
+    # --- sum-edge ids in DFS preorder -----------------------------------
+    edge_of: dict = {}  # id(sumnode) -> list of edge ids (per child)
+    init_lw: List[float] = []
+    edge_leaf_sum: List[bool] = []
+    edge_neg_logk: List[float] = []
+
+    def assign_edges(node):
+        if isinstance(node, LeafNode):
+            return
+        if isinstance(node, SumNode):
+            ids = []
+            k = len(node.children)
+            for c_i in range(k):
+                eid = len(init_lw)
+                ids.append(eid)
+                init_lw.append(float(node.logweights[c_i]))
+                edge_leaf_sum.append(node.is_leaf_sum)
+                edge_neg_logk.append(-np.log(k))
+            edge_of[id(node)] = ids
+        for c in node.children:
+            assign_edges(c)
+
+    assign_edges(root)
+    n_edges = len(init_lw)
+
+    # --- group internal nodes by (height, kind) -------------------------
+    internal: List[TreeNode] = []
+
+    def collect(node):
+        if isinstance(node, LeafNode):
+            return
+        for c in node.children:
+            collect(c)
+        internal.append(node)  # postorder (children first)
+
+    collect(root)
+
+    slot_of: dict = {}
+    groups: List[UpwardGroup] = []
+    slot_counter = L
+    max_h = heights[id(root)] if internal else 0
+    for h in range(1, max_h + 1):
+        for kind, cls in (("split", SplitNode), ("sum", SumNode)):
+            nodes = [n for n in internal if heights[id(n)] == h and isinstance(n, cls)]
+            if not nodes:
+                continue
+            child_slots, seg, eids, nlk = [], [], [], []
+            for p_i, node in enumerate(nodes):
+                for c_i, c in enumerate(node.children):
+                    cslot = c.index if isinstance(c, LeafNode) else slot_of[id(c)]
+                    child_slots.append(cslot)
+                    seg.append(p_i)
+                    if kind == "sum":
+                        eids.append(edge_of[id(node)][c_i])
+                        nlk.append(-np.log(len(node.children)))
+                    else:
+                        eids.append(-1)
+                        nlk.append(0.0)
+                slot_of[id(node)] = slot_counter + p_i
+            groups.append(
+                UpwardGroup(
+                    kind=kind,
+                    child_slots=np.asarray(child_slots, dtype=np.int32),
+                    seg=np.asarray(seg, dtype=np.int32),
+                    n_parents=len(nodes),
+                    edge_ids=np.asarray(eids, dtype=np.int32),
+                    neg_logk=np.asarray(nlk, dtype=np.float64),
+                )
+            )
+            slot_counter += len(nodes)
+
+    root_slot = (
+        root.index if isinstance(root, LeafNode) else slot_of[id(root)]
+    )
+
+    # --- leaf paths (sum edges from root to each leaf) -------------------
+    path = np.zeros((L, max(n_edges, 1)), dtype=np.float64)
+
+    def walk(node, edges):
+        if isinstance(node, LeafNode):
+            for e in edges:
+                path[node.index, e] = 1.0
+            return
+        for c_i, c in enumerate(node.children):
+            extra = [edge_of[id(node)][c_i]] if isinstance(node, SumNode) else []
+            walk(c, edges + extra)
+
+    walk(root, [])
+
+    # --- root-child group ids (PoE/gPoE/rBCM fusion grouping) ------------
+    root_child = np.zeros(L, dtype=np.int32)
+    if isinstance(root, (SplitNode, SumNode)):
+        for c_i, c in enumerate(root.children):
+            for leaf in get_leaves(c):
+                root_child[leaf.index] = c_i
+
+    # --- overlap matrix D (≙ getOverlap, fit.jl:12-39) -------------------
+    masks = np.zeros((L, N), dtype=bool)
+    for i, leaf in enumerate(leaves):
+        masks[i, leaf.obs] = True
+    inter = (masks.astype(np.int64) @ masks.astype(np.int64).T).astype(np.float64)
+    sizes = np.array([l.obs.size for l in leaves], dtype=np.float64)
+    kids = np.array([l.kernelid for l in leaves], dtype=np.int64)
+    Dmat = np.zeros((L, L), dtype=np.float64)
+
+    def overlap(node) -> List[int]:
+        if isinstance(node, LeafNode):
+            return [node.index]
+        grps = [overlap(c) for c in node.children]
+        if isinstance(node, SumNode):
+            for a in range(len(grps)):
+                for b in range(a + 1, len(grps)):
+                    gi = np.asarray(grps[a])
+                    gj = np.asarray(grps[b])
+                    same = kids[gi][:, None] == kids[gj][None, :]
+                    cnt = inter[np.ix_(gi, gj)]
+                    # D[n,m] = 1 - |n\m|/|n| if same kernel else 1
+                    Dmat[np.ix_(gi, gj)] = np.where(
+                        same, cnt / sizes[gi][:, None], 1.0
+                    )
+                    Dmat[np.ix_(gj, gi)] = np.where(
+                        same.T, cnt.T / sizes[gj][:, None], 1.0
+                    )
+        return [i for g in grps for i in g]
+
+    overlap(root)
+
+    return SPNPlan(
+        num_leaves=L,
+        nmax=nmax,
+        dim=D,
+        leaf_obs=tuple(l.obs for l in leaves),
+        leaf_lb=np.stack([l.lb for l in leaves]),
+        leaf_ub=np.stack([l.ub for l in leaves]),
+        leaf_kernelid=kids.astype(np.int32),
+        leaf_mean=np.array([l.mean for l in leaves], dtype=np.float64),
+        groups=tuple(groups),
+        num_slots=slot_counter,
+        root_slot=root_slot,
+        n_sum_edges=n_edges,
+        init_logweights=np.asarray(init_lw, dtype=np.float64),
+        edge_is_leaf_sum=np.asarray(edge_leaf_sum, dtype=bool),
+        edge_neg_logk=np.asarray(edge_neg_logk, dtype=np.float64),
+        path_matrix=path,
+        root_child_id=root_child,
+        overlap=Dmat,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared-Cholesky schedule (≙ fit!'s dynamic case analysis, fit.jl:67-292)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SharedSchedule:
+    """Static factor-reuse plan.
+
+    The reference decides copy/row-delete/continue per leaf at runtime
+    (``fit.jl:88-119``); here the case analysis depends only on the index
+    sets, so it is computed once host-side and becomes a static, batched
+    program: fully factorize ``full_idx``; copy factors along
+    ``(copy_j ← copy_i)``; Givens-delete rows for the ``del_*`` group; and
+    continue-Cholesky prefix extensions for the ``cont_*`` group.
+    """
+
+    full_idx: np.ndarray  # [F]
+    copy_j: np.ndarray
+    copy_i: np.ndarray
+    del_j: np.ndarray
+    del_i: np.ndarray
+    del_pos: np.ndarray  # [Gd, Dmax] positions (in main's rows) to delete
+    del_ndel: np.ndarray  # [Gd]
+    del_keep: np.ndarray  # [Gd, Nmax] main-row position of each kept row
+    cont_j: np.ndarray
+    cont_i: np.ndarray
+    cont_p: np.ndarray  # [Gc] number of already-factored leading rows
+
+
+def build_schedule(plan: SPNPlan, tau: float = 0.05) -> SharedSchedule:
+    """Compile the reference's ``fit!`` scheduling into static groups.
+
+    Main-partner selection ``i = argmax(D[:,j] .* D[j,:])``
+    (``fit.jl:77-86``); case analysis ≙ ``fit.jl:107-116`` dispatching on
+    ``(D[i,j]==1, D[j,i]==1)`` with the kernel-id and
+    ``first(obs)`` guards; the ``τ`` stability threshold gates the
+    row-delete path (``fit.jl:174,256``). Mains of derived leaves are always
+    fully factorized (the reference factorizes them on first use,
+    ``fit.jl:97-100``).
+    """
+    D = plan.overlap
+    L = plan.num_leaves
+    obs = plan.leaf_obs
+    kid = plan.leaf_kernelid
+    score = D * D.T
+    main = np.argmax(score, axis=0)  # main[j] = i
+
+    case = {}
+    for j in range(L):
+        i = int(main[j])
+        if i == j or kid[i] != kid[j] or obs[j][0] < obs[i][0]:
+            case[j] = ("full",)
+            continue
+        ione = D[i, j] == 1.0
+        jone = D[j, i] == 1.0
+        if ione and jone:
+            case[j] = ("copy", i)
+        elif jone:
+            # j ⊂ main: delete rows of main not in j (up to j's last ob),
+            # then slice (fit.jl:145-206).
+            oj, oi = obs[j], obs[i]
+            e = int(np.searchsorted(oi, oj[-1]))  # position of maxJ in main
+            member = np.isin(oi, oj)
+            dels = np.where(~member[: e + 1])[0]
+            if dels.size / oj.size < tau:
+                keep = np.where(member)[0]
+                assert keep.size == oj.size
+                case[j] = ("delete", i, dels, keep)
+            else:
+                case[j] = ("full",)
+        elif ione:
+            # j ⊃ main: continue the factorization past main's block
+            # (fit.jl:208-292). Only valid when main's obs are exactly a
+            # prefix of j's obs (the reference falls back to a full solve
+            # otherwise via its length/minJ guards, fit.jl:251-252).
+            oj, oi = obs[j], obs[i]
+            if oj.size > oi.size and np.array_equal(oj[: oi.size], oi):
+                case[j] = ("continue", i, oi.size)
+            else:
+                case[j] = ("full",)
+        else:
+            case[j] = ("full",)
+
+    # --- resolve dependencies ------------------------------------------
+    # Copy chains (j copies i, i copies k, ...) are redirected to their
+    # canonical source (identical observation sets are transitive); copy
+    # cycles collapse onto the smallest index, which becomes full. Mains of
+    # delete/continue leaves must be fully factorized — any such main that
+    # is itself derived gets promoted to full. Execution order in
+    # ``fit_shared`` is then: full → delete → continue → copy.
+    def canon(j, seen=None):
+        seen = seen or set()
+        while case[j][0] == "copy":
+            if j in seen:
+                j = min(seen)
+                case[j] = ("full",)
+                break
+            seen.add(j)
+            j = case[j][1]
+        return j
+
+    for j in range(L):
+        if case[j][0] == "copy":
+            src = canon(case[j][1], {j})
+            case[j] = ("copy", src) if src != j else ("full",)
+        elif case[j][0] in ("delete", "continue"):
+            m = case[j][1]
+            src = canon(m)
+            if case[src][0] != "full":
+                case[src] = ("full",)
+            if src != m:
+                # delete/continue positions were computed against m's rows;
+                # identical obs sets make them valid against src too.
+                case[j] = (case[j][0], src) + case[j][2:]
+
+    derived = [j for j in range(L) if case[j][0] != "full"]
+    full_idx = np.array(
+        sorted({j for j in range(L) if case[j][0] == "full"}), dtype=np.int32
+    )
+
+    copy_j = np.array([j for j in derived if case[j][0] == "copy"], dtype=np.int32)
+    copy_i = np.array([case[j][1] for j in copy_j], dtype=np.int32)
+
+    del_js = [j for j in derived if case[j][0] == "delete"]
+    dmax = max((case[j][2].size for j in del_js), default=1)
+    del_j = np.asarray(del_js, dtype=np.int32)
+    del_i = np.array([case[j][1] for j in del_js], dtype=np.int32)
+    del_pos = np.zeros((len(del_js), max(dmax, 1)), dtype=np.int32)
+    del_ndel = np.zeros(len(del_js), dtype=np.int32)
+    del_keep = np.zeros((len(del_js), plan.nmax), dtype=np.int32)
+    for g, j in enumerate(del_js):
+        _, _, dels, keep = case[j]
+        del_pos[g, : dels.size] = dels
+        del_ndel[g] = dels.size
+        del_keep[g, : keep.size] = keep
+
+    cont_js = [j for j in derived if case[j][0] == "continue"]
+    cont_j = np.asarray(cont_js, dtype=np.int32)
+    cont_i = np.array([case[j][1] for j in cont_js], dtype=np.int32)
+    cont_p = np.array([case[j][2] for j in cont_js], dtype=np.int32)
+
+    return SharedSchedule(
+        full_idx=full_idx,
+        copy_j=copy_j,
+        copy_i=copy_i,
+        del_j=del_j,
+        del_i=del_i,
+        del_pos=del_pos,
+        del_ndel=del_ndel,
+        del_keep=del_keep,
+        cont_j=cont_j,
+        cont_i=cont_i,
+        cont_p=cont_p,
+    )

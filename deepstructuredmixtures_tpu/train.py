@@ -1,0 +1,333 @@
+"""Hyperparameter training and fine-tuning.
+
+TPU-native equivalent of the reference L4 layer:
+
+* ``train`` (≙ ``train!``, ``optimisers.jl:4-87``): gradient *ascent* on the
+  root marginal log-likelihood w.r.t. one tied hyper vector, with any optax
+  optimizer (replacing Flux ``Optimise.apply!``) and the reference's
+  moving-window early stopping (δ = |ℓ_i − mean(ℓ_{i−9..i−1})| < λ for
+  ``earlystop`` consecutive iterations, ``optimisers.jl:53-66``).
+  Gradients come from autodiff of the jitted fit+upward program — exactly
+  the responsibility-weighted sum the reference assembles by hand
+  (``optimize.jl:42-89``), without its σ-scaling defect (see kernels.py).
+* ``train_gp`` (≙ single-GP ``train!``, ``optimisers.jl:89-145``) with NaN
+  rollback.
+* ``finetune`` (≙ ``finetune!``, ``finetuning.jl:3-88``): unties the hyper
+  vector per leaf. The reference's within-iteration round-robin updates are
+  independent across leaves (each leaf's candidate vector is applied to the
+  whole tree and only that leaf's entry is updated), so all L candidate
+  evaluations run as one batched/chunked program per iteration. The
+  overlap-row weighting (``optimize.jl:92-150``) is realized with a
+  stop-gradient surrogate on the leaf mll vector. NOTE: the reference
+  builds ``Dd`` with unit diagonal (``finetuning.jl:30-31``) but then
+  passes ``D`` (zero diagonal) — zeroing each leaf's own-gradient
+  contribution; we default to the evident intent (``self_weight=1.0``).
+
+Memory: for large models the mll+gradient is evaluated in leaf chunks with
+``jax.checkpoint`` rematerialization, so peak memory is
+``O(chunk · Nmax²)`` instead of ``O(L · Nmax²)``.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import lax
+
+from . import infer as inferlib
+from .config import EPS
+from .fit import _noisy_gram
+from .hyper import HyperLayout
+from .leafgp import LeafBatch, centered_y, leaf_mll
+from .ops import cholesky as chol
+from .plan import SPNPlan
+
+
+# ---------------------------------------------------------------------------
+# Leaf mll as a pure function of the hyper vector (chunked + rematerialized)
+# ---------------------------------------------------------------------------
+
+
+def _chunk_leaf_mll(layout, theta, batch: LeafBatch):
+    """mll of every leaf in ``batch`` under hyper ``theta`` ([P] or [C, P])."""
+    Kn = _noisy_gram(layout, theta, batch)
+    Lf = jnp.linalg.cholesky(Kn)
+    yc = centered_y(batch)
+    alpha = chol.cho_solve_lower(Lf, yc)
+    return leaf_mll(Lf, yc, alpha, batch)
+
+
+def leaf_mlls_fn(layout: HyperLayout, batch: LeafBatch, chunk: Optional[int]):
+    """Returns ``f(theta) -> [L]`` computing all leaf mlls, chunked with
+    rematerialization when ``chunk`` is set."""
+    L = batch.num_leaves
+    if chunk is None or chunk >= L:
+        return lambda theta: _chunk_leaf_mll(layout, theta, batch)
+
+    pad = (-L) % chunk
+
+    def pad_leaf(a):
+        return jnp.concatenate([a, jnp.repeat(a[:1], pad, axis=0)], axis=0) if pad else a
+
+    bpad = LeafBatch(*[pad_leaf(a) for a in batch])
+    nchunks = bpad.num_leaves // chunk
+
+    @jax.checkpoint
+    def body(theta, i):
+        sl = lambda a: lax.dynamic_slice_in_dim(a, i * chunk, chunk, axis=0)
+        b = LeafBatch(*[sl(a) for a in bpad])
+        th = theta if theta.ndim == 1 else sl(theta)
+        return _chunk_leaf_mll(layout, th, b)
+
+    def f(theta):
+        vals = lax.map(lambda i: body(theta, i), jnp.arange(nchunks))
+        return vals.reshape(-1)[:L]
+
+    return f
+
+
+def make_mll_fn(layout, plan: SPNPlan, batch: LeafBatch, chunk=None):
+    """``theta -> root mll`` (tied hypers, uniform sum weights)."""
+    lf = leaf_mlls_fn(layout, batch, chunk)
+
+    def f(theta):
+        return inferlib.root_mll(plan, lf(theta))
+
+    return f
+
+
+# ---------------------------------------------------------------------------
+# train! — tied hyperparameters
+# ---------------------------------------------------------------------------
+
+
+def train(
+    model,
+    optimizer=None,
+    iterations: int = 10_000,
+    lam: float = 0.05,
+    randinit: bool = True,
+    earlystop: int = 10,
+    chunk: Optional[int] = None,
+    seed=None,
+    verbose: bool = False,
+):
+    """Train tied hyperparameters by mll ascent (≙ ``train!``,
+    ``optimisers.jl:4-87``). Mutates ``model.theta``, refits, and returns
+    the mll history array."""
+    optimizer = optimizer or optax.adam(1e-3)
+    layout, plan, batch = model.layout, model.plan, model.batch
+    P = model.theta.shape[-1]
+    rng = np.random.default_rng(seed)
+    theta = (
+        jnp.asarray(rng.standard_normal(P), dtype=model.dtype)
+        if randinit
+        else model.theta
+    )
+
+    mll_fn = make_mll_fn(layout, plan, batch, chunk)
+    vg = jax.value_and_grad(mll_fn)
+
+    @jax.jit
+    def step(theta, opt_state):
+        val, g = vg(theta)
+        # ascent: feed the negative gradient to the (descent-convention)
+        # optax transform (≙ apply! + hyp += grad, optimisers.jl:78-79)
+        updates, opt_state = optimizer.update(-g, opt_state, theta)
+        return val, optax.apply_updates(theta, updates), opt_state
+
+    opt_state = optimizer.init(theta)
+    hist = np.zeros(iterations)
+    c = 0
+    it = 0
+    for it in range(iterations):
+        val, new_theta, opt_state = step(theta, opt_state)
+        hist[it] = float(val)
+        if not np.isfinite(hist[it]):
+            # keep last finite hypers (mirrors the single-GP NaN rollback)
+            break
+        theta = new_theta
+        delta = (
+            abs(hist[it] - hist[it - 10 : it - 1].mean()) if it >= 10 else np.inf
+        )
+        if verbose and it % 50 == 0:
+            print(f"[train] iter={it} mll={hist[it]:.4f} delta={delta:.4g}")
+        c = c + 1 if delta < lam else 0
+        if c >= earlystop:
+            it += 1
+            break
+
+    model.set_params(theta)
+    model.fit()
+    return hist[: max(it, 1)]
+
+
+def train_gp(
+    gp,
+    iterations: int = 10_000,
+    optimizer=None,
+    lam: float = 0.1,
+    randinit: bool = True,
+    seed=None,
+):
+    """Train a standalone exact GP (≙ single-GP ``train!``,
+    ``optimisers.jl:89-145``) with NaN rollback."""
+    optimizer = optimizer or optax.rmsprop(1e-3)
+    rng = np.random.default_rng(seed)
+    theta = (
+        jnp.asarray(rng.standard_normal(gp.theta.shape[0]), dtype=gp.x.dtype)
+        if randinit
+        else gp.theta
+    )
+    kind, nl = gp.kernel.kind, gp.nl
+
+    from .gp import _mll
+
+    vg = jax.jit(
+        jax.value_and_grad(lambda th: _mll(kind, nl, th, gp.x, gp.yc))
+    )
+
+    @jax.jit
+    def step(theta, opt_state):
+        val, g = vg(theta)
+        updates, opt_state = optimizer.update(-g, opt_state, theta)
+        return val, optax.apply_updates(theta, updates), opt_state
+
+    opt_state = optimizer.init(theta)
+    hist = np.zeros(iterations)
+    old = theta
+    it = 0
+    for it in range(iterations):
+        val, new_theta, opt_state = step(theta, opt_state)
+        hist[it] = float(val)
+        if np.isnan(hist[it]):
+            theta = old  # rollback (optimisers.jl:115-119)
+            break
+        delta = (
+            abs(hist[it] - hist[it - 10 : it - 1].mean()) if it >= 10 else np.inf
+        )
+        old = theta
+        theta = new_theta
+        if delta < lam:
+            it += 1
+            break
+
+    gp.set_params(theta)
+    gp.fit()
+    return hist[: max(it, 1)]
+
+
+# ---------------------------------------------------------------------------
+# finetune! — per-leaf (untied) hyperparameters
+# ---------------------------------------------------------------------------
+
+
+def _weighted_root_mll(layout, plan, batch, theta, w):
+    """Root mll where leaf mll gradients are scaled by ``w [L]`` via a
+    stop-gradient surrogate (≙ the D-row weighting in ``∇mll!``,
+    ``optimize.jl:92-150``): the value equals the true root mll, while
+    d(root)/dθ = Σ_l resp_l · w_l · d(mll_l)/dθ."""
+    lm = _chunk_leaf_mll(layout, theta, batch)
+    sg = lax.stop_gradient(lm)
+    lm_w = sg + w * (lm - sg)
+    vals = inferlib.upward(plan, lm_w)
+    return vals[plan.root_slot], lm
+
+
+def finetune(
+    model,
+    optimizer=None,
+    iterations: int = 1000,
+    lam: float = 0.5,
+    earlystop: int = 10,
+    self_weight: float = 1.0,
+    cand_chunk: Optional[int] = None,
+    verbose: bool = False,
+):
+    """Fine-tune per-leaf hyperparameters (≙ ``finetune!``,
+    ``finetuning.jl:3-88``).
+
+    Keeps a per-leaf hyper matrix ``H [L, P]``; per iteration, every leaf's
+    candidate vector is applied to the whole tree, the root-mll gradient is
+    computed with that leaf's overlap-row weighting, and only that leaf's
+    row of ``H`` is updated — all candidates batched (chunked by
+    ``cand_chunk``). On exit each leaf keeps its own hypers and the model is
+    refit heterogeneously (``finetuning.jl:74-85``).
+    """
+    optimizer = optimizer or optax.adam(1e-3)
+    layout, plan, batch = model.layout, model.plan, model.batch
+    L = plan.num_leaves
+    theta0 = model.theta
+    if theta0.ndim == 1:
+        H = jnp.broadcast_to(theta0, (L,) + theta0.shape).astype(model.dtype)
+    else:
+        H = theta0
+    Dd = plan.overlap.copy()
+    np.fill_diagonal(Dd, self_weight)
+    Dd = jnp.asarray(Dd, dtype=model.dtype)
+
+    cand_chunk = cand_chunk or max(1, min(L, 4096 // max(plan.nmax, 1)))
+
+    # gradient of the weighted root mll, plus the leaf's own mll (the value
+    # the reference tracks for early stopping: l += L[gp.id],
+    # finetuning.jl:51)
+    def obj(theta_j, w_j):
+        root, lm = _weighted_root_mll(layout, plan, batch, theta_j, w_j)
+        return root, lm
+
+    def one_candidate(theta_j, w_j, j):
+        (root, lm), vjp = jax.vjp(lambda th: obj(th, w_j), theta_j)
+        (g,) = vjp((jnp.ones((), dtype=theta_j.dtype), jnp.zeros_like(lm)))
+        return g, lm[j]
+
+    batched = jax.vmap(one_candidate, in_axes=(0, 0, 0))
+
+    @jax.jit
+    def iteration(H, opt_state):
+        js = jnp.arange(L)
+        if cand_chunk >= L:
+            G, own = batched(H, Dd, js)
+        else:
+            pad = (-L) % cand_chunk
+            Hp = jnp.concatenate([H, H[:pad]], axis=0) if pad else H
+            Dp = jnp.concatenate([Dd, Dd[:pad]], axis=0) if pad else Dd
+            jp = jnp.concatenate([js, js[:pad]], axis=0) if pad else js
+            nc = Hp.shape[0] // cand_chunk
+
+            def body(i):
+                sl = lambda a: lax.dynamic_slice_in_dim(
+                    a, i * cand_chunk, cand_chunk, axis=0
+                )
+                return batched(sl(Hp), sl(Dp), sl(jp))
+
+            G, own = lax.map(body, jnp.arange(nc))
+            G = G.reshape((-1,) + G.shape[2:])[:L]
+            own = own.reshape(-1)[:L]
+        updates, opt_state = optimizer.update(-G, opt_state, H)
+        return optax.apply_updates(H, updates), opt_state, jnp.sum(own)
+
+    opt_state = optimizer.init(H)
+    hist = np.zeros(iterations)
+    c = 0
+    it = 0
+    for it in range(iterations):
+        H, opt_state, val = iteration(H, opt_state)
+        hist[it] = float(val)
+        delta = (
+            abs(hist[it] - hist[it - 10 : it - 1].mean()) if it >= 10 else np.inf
+        )
+        if verbose and it % 10 == 0:
+            print(f"[finetune] iter={it} sum-own-mll={hist[it]:.4f}")
+        c = c + 1 if delta < lam else 0
+        if c >= earlystop:
+            it += 1
+            break
+
+    # final heterogeneous refit: each leaf with its own hypers
+    model.set_params(H)
+    model.fit()
+    return hist[: max(it, 1)]

@@ -1,0 +1,121 @@
+"""Posterior fitting: batched vs shared-Cholesky parity, forced case
+coverage (copy / delete / continue), chunking, and per-leaf mll parity
+against the oracle."""
+import numpy as np
+import jax.numpy as jnp
+
+import deepstructuredmixtures_tpu as dsm
+from deepstructuredmixtures_tpu import fit as fitlib
+from deepstructuredmixtures_tpu.hyper import initial_vector, make_layout
+from deepstructuredmixtures_tpu.plan import build_schedule, compile_tree
+from deepstructuredmixtures_tpu.tree import LeafNode, SumNode
+
+from .oracle import OracleGP
+
+rng = np.random.default_rng(0)
+N = 60
+X = np.sort(rng.uniform(0, 1, N)).reshape(-1, 1)
+Y = np.sin(X[:, 0] * 6) + rng.normal(0, 0.1, N)
+
+
+def _leaf(obs, mean=None):
+    obs = np.asarray(obs, dtype=np.int64)
+    return LeafNode(
+        obs=obs,
+        lb=np.array([-np.inf]),
+        ub=np.array([np.inf]),
+        kernelid=0,
+        mean=float(Y[obs].mean()) if mean is None else mean,
+    )
+
+
+def _handcrafted():
+    """Sum node over four leaves engineered to hit every schedule case:
+    main (0..39), copy of main, subset (delete 1 interior row), and a
+    prefix-superset (continue)."""
+    main = _leaf(np.arange(40))
+    copy = _leaf(np.arange(40))
+    sub = _leaf(np.delete(np.arange(40), 7))
+    ext = _leaf(np.arange(60))
+    node = SumNode(children=[main, copy, sub, ext],
+                   logweights=np.full(4, -np.log(4.0)))
+    return node
+
+
+def test_schedule_covers_all_cases():
+    root = _handcrafted()
+    plan = compile_tree(root, X)
+    sched = build_schedule(plan, tau=0.05)
+    assert sched.copy_j.size == 1
+    assert sched.del_j.size == 1
+    assert sched.cont_j.size == 1
+    assert sched.full_idx.size == 1
+
+
+def test_shared_fit_matches_batched_on_forced_cases():
+    root = _handcrafted()
+    plan = compile_tree(root, X)
+    sched = build_schedule(plan, tau=0.05)
+    kernels = (dsm.IsoSE(0.1, 0.2),)
+    layout = make_layout(kernels)
+    theta = jnp.asarray(initial_vector(kernels, -1.0))
+    batch = plan.leaf_batch(X, Y, jnp.float64)
+
+    pb = fitlib.fit_batched(layout, theta, batch)
+    ps = fitlib.fit_shared(layout, theta, batch, sched)
+    np.testing.assert_allclose(np.asarray(ps.mll), np.asarray(pb.mll), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ps.alpha), np.asarray(pb.alpha), atol=1e-7)
+
+    # factor parity on valid regions
+    for l in range(plan.num_leaves):
+        n = int(batch.n[l])
+        np.testing.assert_allclose(
+            np.asarray(ps.chol)[l, :n, :n],
+            np.asarray(pb.chol)[l, :n, :n],
+            atol=1e-8,
+        )
+
+
+def test_leaf_mll_matches_oracle():
+    root = _handcrafted()
+    plan = compile_tree(root, X)
+    kernels = (dsm.IsoSE(0.1, 0.2),)
+    layout = make_layout(kernels)
+    theta = jnp.asarray(initial_vector(kernels, -1.0))
+    batch = plan.leaf_batch(X, Y, jnp.float64)
+    post = fitlib.fit_batched(layout, theta, batch)
+    for l, obs in enumerate(plan.leaf_obs):
+        og = OracleGP(X[obs], Y[obs], "iso_se", [0.1], 0.2, -1.0)
+        assert abs(float(post.mll[l]) - og.mll()) < 1e-9
+
+
+def test_chunked_fit_matches_unchunked():
+    m = dsm.build_dsmgp(X, Y, V=2, K=2, M=10, kernel=dsm.IsoSE(0.0, 0.0),
+                        log_noise=-1.0, seed=3, do_fit=False)
+    p1 = fitlib.fit_batched(m.layout, m.theta, m.batch)
+    p2 = fitlib.fit_batched(m.layout, m.theta, m.batch, chunk=3)
+    np.testing.assert_allclose(np.asarray(p1.mll), np.asarray(p2.mll), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(p1.alpha), np.asarray(p2.alpha), atol=1e-12)
+
+
+def test_shared_fit_on_built_model():
+    m = dsm.build_dsmgp(X, Y, V=3, K=3, M=8, kernel=dsm.IsoSE(0.0, 0.0),
+                        log_noise=-1.0, seed=5)
+    m.fit(method="batched")
+    mll_b = m.mll()
+    m.fit(method="shared")
+    mll_s = m.mll()
+    assert abs(mll_b - mll_s) < 1e-8
+
+
+def test_untied_theta_fit():
+    """Per-leaf hyper matrices must be accepted by the batched engine."""
+    m = dsm.build_dsmgp(X, Y, V=2, K=2, M=10, kernel=dsm.IsoSE(0.0, 0.0),
+                        log_noise=-1.0, seed=7, do_fit=False)
+    L = m.num_leaves
+    H = np.tile(np.asarray(m.theta), (L, 1))
+    H[:, 0] += np.linspace(-0.2, 0.2, L)  # vary lengthscales per leaf
+    post = fitlib.fit_batched(m.layout, jnp.asarray(H), m.batch)
+    for l, obs in enumerate(m.plan.leaf_obs):
+        og = OracleGP(X[obs], Y[obs], "iso_se", [H[l, 0]], H[l, 1], H[l, 2])
+        assert abs(float(post.mll[l]) - og.mll()) < 1e-9

@@ -1,0 +1,165 @@
+"""Plan compilation: upward pass, weight updates, overlap, membership —
+gated against direct recursions on the host tree."""
+import numpy as np
+import jax.numpy as jnp
+
+import deepstructuredmixtures_tpu as dsm
+from deepstructuredmixtures_tpu import infer as inferlib
+from deepstructuredmixtures_tpu.config import DSMGPConfig
+from deepstructuredmixtures_tpu.plan import compile_tree
+from deepstructuredmixtures_tpu.tree import (
+    LeafNode,
+    SplitNode,
+    SumNode,
+    build_tree,
+    get_leaves,
+)
+
+rng = np.random.default_rng(0)
+N = 300
+X = np.sort(rng.uniform(0, 1, N)).reshape(-1, 1)
+Y = np.sin(X[:, 0] * 6) + rng.normal(0, 0.1, N)
+
+CFG = DSMGPConfig(None, dsm.IsoSE(0.0, 0.0), -1.0, 25, 3, 2, 2, 0.5, True)
+ROOT = build_tree(X, Y, CFG, np.random.default_rng(1))
+PLAN = compile_tree(ROOT, X)
+L = PLAN.num_leaves
+LEAF_VALS = np.random.default_rng(2).normal(size=L)
+
+
+def ref_mll(node, leaf_vals):
+    if isinstance(node, LeafNode):
+        return leaf_vals[node.index]
+    if isinstance(node, SplitNode):
+        return sum(ref_mll(c, leaf_vals) for c in node.children)
+    k = len(node.children)
+    vals = np.array([-np.log(k) + ref_mll(c, leaf_vals) for c in node.children])
+    m = vals.max()
+    return m + np.log(np.exp(vals - m).sum())
+
+
+def test_upward_matches_recursion():
+    got = float(inferlib.root_mll(PLAN, jnp.asarray(LEAF_VALS)))
+    want = ref_mll(ROOT, LEAF_VALS)
+    assert abs(got - want) < 1e-10
+
+
+def test_update_weights_normalize_and_match_recursion():
+    lw, z = inferlib.update_weights(PLAN, jnp.asarray(LEAF_VALS))
+    lw = np.asarray(lw)
+    assert abs(float(z) - ref_mll(ROOT, LEAF_VALS)) < 1e-10
+    # per-sum-node normalization (common.jl:329-331)
+    for g in PLAN.groups:
+        if g.kind != "sum":
+            continue
+        for p in range(g.n_parents):
+            e = g.edge_ids[g.seg == p]
+            assert abs(np.exp(lw[e]).sum() - 1.0) < 1e-10
+
+    # reference recursion for the weights
+    def ref_update(node):
+        if isinstance(node, LeafNode):
+            return LEAF_VALS[node.index]
+        if isinstance(node, SplitNode):
+            return sum(ref_update(c) for c in node.children)
+        k = len(node.children)
+        vals = np.array([-np.log(k) + ref_update(c) for c in node.children])
+        m = vals.max()
+        z = m + np.log(np.exp(vals - m).sum())
+        node._ref_lw = vals - z
+        return z
+
+    ref_update(ROOT)
+
+    def collect(node, edge_iter):
+        if isinstance(node, LeafNode):
+            return
+        if isinstance(node, SumNode):
+            for k, c in enumerate(node.children):
+                edge_iter.append(node._ref_lw[k])
+        for c in node.children:
+            collect(c, edge_iter)
+
+    # edges were assigned in DFS preorder — replicate
+    ref_edges = []
+    collect(ROOT, ref_edges)
+    np.testing.assert_allclose(lw, np.asarray(ref_edges), atol=1e-10)
+
+
+def test_infer_weights_reset_internal():
+    lw, _ = inferlib.infer_weights(PLAN, jnp.asarray(LEAF_VALS))
+    lw = np.asarray(lw)
+    internal = ~PLAN.edge_is_leaf_sum
+    np.testing.assert_allclose(lw[internal], PLAN.edge_neg_logk[internal], atol=1e-12)
+
+
+def test_membership_matches_routing():
+    xt = np.linspace(-0.3, 1.3, 57).reshape(-1, 1)
+    member = np.asarray(inferlib.leaf_membership(PLAN, jnp.asarray(xt)))
+
+    def route(node, idx):
+        """Recursive getchild routing → set of (test, leaf) pairs."""
+        if isinstance(node, LeafNode):
+            return {(int(i), node.index) for i in idx}
+        if isinstance(node, SumNode):
+            out = set()
+            for c in node.children:
+                out |= route(c, idx)
+            return out
+        out = set()
+        lo = node.lb[node.dim]
+        for c, hi in zip(node.children, node.thresholds):
+            sel = idx[(xt[idx, node.dim] > lo) & (xt[idx, node.dim] <= hi)]
+            out |= route(c, sel)
+            lo = hi
+        return out
+
+    want = route(ROOT, np.arange(len(xt)))
+    got = {(t, l) for t in range(len(xt)) for l in range(L) if member[t, l]}
+    assert got == want
+
+
+def test_overlap_matches_definition():
+    """D[n,m] = 1 - |obs_n \\ obs_m| / |obs_n| for pairs under a common sum
+    across different children (fit.jl:12-39); 0 elsewhere."""
+    leaves = get_leaves(ROOT)
+    D = PLAN.overlap
+
+    pairs = set()
+
+    def qualifying(node):
+        if isinstance(node, LeafNode):
+            return [node.index]
+        groups = [qualifying(c) for c in node.children]
+        if isinstance(node, SumNode):
+            for a in range(len(groups)):
+                for b in range(a + 1, len(groups)):
+                    for n in groups[a]:
+                        for m in groups[b]:
+                            pairs.add((n, m))
+                            pairs.add((m, n))
+        return [i for g in groups for i in g]
+
+    qualifying(ROOT)
+    for n in range(L):
+        for m in range(L):
+            if n == m:
+                assert D[n, m] == 0.0
+            elif (n, m) in pairs:
+                sn = set(leaves[n].obs)
+                sm = set(leaves[m].obs)
+                want = 1.0 - len(sn - sm) / len(sn)
+                assert abs(D[n, m] - want) < 1e-12
+            else:
+                assert D[n, m] == 0.0
+
+
+def test_path_matrix_weights_sum_to_one_per_point():
+    """Active-leaf mixture weights normalize for every test point."""
+    lw, _ = inferlib.update_weights(PLAN, jnp.asarray(LEAF_VALS))
+    pw = np.asarray(inferlib.path_logweights(PLAN, lw))
+    xt = np.linspace(0.05, 0.95, 31).reshape(-1, 1)
+    member = np.asarray(inferlib.leaf_membership(PLAN, jnp.asarray(xt)))
+    for t in range(len(xt)):
+        tot = np.exp(pw[member[t]]).sum()
+        assert abs(tot - 1.0) < 1e-10

@@ -1,0 +1,92 @@
+"""End-to-end prediction parity against the NumPy reference engine (the
+transcribed Julia recursions) — the BASELINE.md 1e-6 gate."""
+import numpy as np
+
+import deepstructuredmixtures_tpu as dsm
+
+from .reference_engine import make_engine
+
+rng = np.random.default_rng(0)
+N = 350
+X = np.sort(rng.uniform(0, 1, N)).reshape(-1, 1)
+Y = np.sin(X[:, 0] * 4 * np.pi) + rng.normal(0, 0.2, N)
+XT = np.linspace(-0.1, 1.1, 83).reshape(-1, 1)
+
+
+def test_dsmgp_predict_parity_uniform_weights():
+    m = dsm.build_dsmgp(X, Y, V=3, K=3, M=20, kernel=dsm.IsoSE(0.0, 0.0),
+                        log_noise=-1.0, seed=11)
+    eng = make_engine(m)
+    mu, var = m.predict(XT)
+    omu, ovar = eng.predict(XT)
+    np.testing.assert_allclose(np.asarray(mu), omu, atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), ovar, atol=1e-6, rtol=1e-6)
+
+
+def test_dsmgp_predict_parity_posterior_weights():
+    m = dsm.build_dsmgp(X, Y, V=2, K=4, M=25, kernel=dsm.IsoSE(0.3, 0.1),
+                        log_noise=-0.7, seed=13)
+    z = m.update()
+    eng = make_engine(m)
+    oz = eng.update()
+    assert abs(z - oz) < 1e-8
+    mu, var = m.predict(XT)
+    omu, ovar = eng.predict(XT)
+    np.testing.assert_allclose(np.asarray(mu), omu, atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), ovar, atol=1e-6, rtol=1e-6)
+
+
+def test_mll_parity():
+    m = dsm.build_dsmgp(X, Y, V=2, K=3, M=20, kernel=dsm.IsoSE(0.0, 0.0),
+                        log_noise=-1.0, seed=17)
+    eng = make_engine(m)
+    assert abs(m.mll() - eng.mll()) < 1e-8
+
+
+def test_poe_gpoe_rbcm_parity():
+    for builder, refname in [
+        (lambda: dsm.build_poe(X, Y, K=4, M=20, kernel=dsm.IsoSE(0.0, 0.0),
+                               log_noise=-1.0, seed=19), "predict_poe"),
+        (lambda: dsm.build_poe(X, Y, K=4, generalized=True, M=20,
+                               kernel=dsm.IsoSE(0.0, 0.0), log_noise=-1.0,
+                               seed=19), "predict_gpoe"),
+        (lambda: dsm.build_bcm(X, Y, K=4, M=20, kernel=dsm.IsoSE(0.0, 0.0),
+                               log_noise=-1.0, seed=19), "predict_rbcm"),
+    ]:
+        m = builder()
+        eng = make_engine(m)
+        mu, var = m.predict(XT)
+        omu, ovar = getattr(eng, refname)(XT)
+        np.testing.assert_allclose(np.asarray(mu), omu, atol=1e-6, rtol=1e-6,
+                                   err_msg=refname)
+        np.testing.assert_allclose(np.asarray(var), ovar, atol=1e-6, rtol=1e-6,
+                                   err_msg=refname)
+
+
+def test_single_leaf_dsmgp_equals_exact_gp():
+    """A DSMGP degenerate to one leaf must equal the exact GP posterior
+    (SURVEY §4 oracle 2)."""
+    Xs, Ys = X[:80], Y[:80]
+    m = dsm.build_dsmgp(Xs, Ys, V=1, K=1, M=200, depth=0,
+                        kernel=dsm.IsoSE(0.2, 0.1), log_noise=-1.0, seed=23)
+    assert m.num_leaves == 1
+    gp = dsm.GaussianProcess(Xs, Ys, kernel=dsm.IsoSE(0.2, 0.1), log_noise=-1.0)
+    mu, var = m.predict(XT)
+    gmu, gvar = gp.predict(XT)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(gmu), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(gvar), atol=1e-8)
+    assert abs(m.mll() - gp.mll()) < 1e-8
+
+
+def test_kernel_mixture_model():
+    kernels = [dsm.IsoSE(0.0, 0.0), dsm.IsoLinear(0.0)]
+    m = dsm.build_dsmgp(X, Y, V=2, K=2, M=30, kernel=kernels,
+                        log_noise=-1.0, seed=29)
+    assert set(np.unique(m.plan.leaf_kernelid)) == {0, 1}
+    m.update()
+    eng = make_engine(m)
+    eng.update()
+    mu, var = m.predict(XT)
+    omu, ovar = eng.predict(XT)
+    np.testing.assert_allclose(np.asarray(mu), omu, atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), ovar, atol=1e-6, rtol=1e-6)

@@ -1,0 +1,102 @@
+"""Training loops: tied mll ascent, chunked gradients, warm start,
+fine-tuning (≙ optimisers.jl / finetuning.jl)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+import deepstructuredmixtures_tpu as dsm
+from deepstructuredmixtures_tpu.train import make_mll_fn
+
+rng = np.random.default_rng(0)
+N = 250
+X = np.sort(rng.uniform(0, 1, N)).reshape(-1, 1)
+Y = np.sin(X[:, 0] * 4 * np.pi) + rng.normal(0, 0.2, N)
+
+
+def _model(seed=1, **kw):
+    kw.setdefault("V", 2)
+    kw.setdefault("K", 2)
+    kw.setdefault("M", 20)
+    kw.setdefault("kernel", dsm.IsoSE(0.0, 0.0))
+    kw.setdefault("log_noise", -1.0)
+    return dsm.build_dsmgp(X, Y, seed=seed, **kw)
+
+
+def test_train_improves_mll():
+    m = _model()
+    before = m.mll()
+    hist = dsm.train(m, optax.adam(5e-2), iterations=60, lam=1e-5,
+                     randinit=False)
+    assert m.mll() > before
+    assert hist[-1] > hist[0]
+
+
+def test_train_randinit_and_earlystop():
+    m = _model(seed=2)
+    hist = dsm.train(m, optax.adam(5e-2), iterations=500, lam=10.0,
+                     earlystop=3, seed=4)
+    # huge lambda → early stop long before 500 iterations
+    assert hist.shape[0] < 500
+
+
+def test_warm_start_workflow():
+    """README warm-start: get params from a trained model, set on another,
+    train with randinit=False (README.md:58-71)."""
+    m1 = _model(seed=5)
+    dsm.train(m1, optax.adam(5e-2), iterations=30, lam=1e-6, randinit=False)
+    hyp = m1.get_params()
+    m2 = _model(seed=6, V=3)
+    m2.set_params(hyp)
+    np.testing.assert_allclose(m2.get_params(), hyp)
+    before = m2.mll()
+    dsm.train(m2, optax.adam(1e-2), iterations=20, lam=1e-6, randinit=False)
+    assert m2.mll() >= before - 1e-6
+
+
+def test_chunked_gradient_matches_unchunked():
+    m = _model(seed=7)
+    f_full = make_mll_fn(m.layout, m.plan, m.batch, chunk=None)
+    f_chunk = make_mll_fn(m.layout, m.plan, m.batch, chunk=3)
+    theta = m.theta
+    v1, g1 = jax.value_and_grad(f_full)(theta)
+    v2, g2 = jax.value_and_grad(f_chunk)(theta)
+    assert abs(float(v1) - float(v2)) < 1e-10
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-9)
+
+
+def test_gradient_matches_finite_differences():
+    """The autodiff gradient equals the responsibility-weighted sum of leaf
+    gradients (the exact version of ∇mll!, optimize.jl:42-89)."""
+    m = _model(seed=8)
+    f = make_mll_fn(m.layout, m.plan, m.batch)
+    theta = np.asarray(m.theta)
+    g = np.asarray(jax.grad(f)(m.theta))
+    h = 1e-6
+    for i in range(theta.size):
+        tp, tm = theta.copy(), theta.copy()
+        tp[i] += h
+        tm[i] -= h
+        fd = (float(f(jnp.asarray(tp))) - float(f(jnp.asarray(tm)))) / (2 * h)
+        assert abs(g[i] - fd) < 1e-4 * max(1.0, abs(fd))
+
+
+def test_finetune_improves_and_unties():
+    m = _model(seed=9)
+    dsm.train(m, optax.adam(5e-2), iterations=20, lam=1e-6, randinit=False)
+    before = m.mll()
+    hist = dsm.finetune(m, optax.adam(1e-2), iterations=8, lam=1e-6)
+    assert m.theta.ndim == 2  # untied per-leaf hypers
+    assert m.theta.shape[0] == m.num_leaves
+    assert hist.shape[0] >= 1
+    after = m.mll()
+    # fine-tuning should not catastrophically degrade the model
+    assert after > before - 5.0
+
+
+def test_train_poe_models():
+    p = dsm.build_poe(X, Y, K=3, M=20, kernel=dsm.IsoSE(0.0, 0.0),
+                      log_noise=-1.0, seed=10)
+    before = p.mll()
+    dsm.train(p, optax.adam(5e-2), iterations=30, lam=1e-6, randinit=False)
+    assert p.mll() > before
