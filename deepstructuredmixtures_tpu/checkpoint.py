@@ -1,0 +1,142 @@
+"""Checkpoint / resume.
+
+The reference has no checkpointing (SURVEY §5) — the supported workflow is
+manual hyper extraction + re-injection (``README.md:58-71``). Here models
+serialize completely: the tree specification (leaf observation sets, boxes,
+split structure), the flat hyper vector (tied or per-leaf), the sum-edge
+log-weights, and the raw data references. Restoring rebuilds the compiled
+plan deterministically from the stored tree — no RNG involved.
+
+Format: a single ``.npz`` archive (portable, dependency-free). ``save`` /
+``load`` round-trip every model class (DSMGP/PoE/GPoE/RBCM).
+"""
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DSMGPConfig
+from .hyper import make_layout
+from .kernels import KernelSpec, normalize_kernels
+from .plan import build_schedule, compile_tree
+from .tree import LeafNode, SplitNode, SumNode
+
+
+def _tree_to_spec(node):
+    if isinstance(node, LeafNode):
+        return {
+            "t": "leaf",
+            "obs": node.obs.tolist(),
+            "lb": node.lb.tolist(),
+            "ub": node.ub.tolist(),
+            "kernelid": int(node.kernelid),
+            "mean": float(node.mean),
+        }
+    if isinstance(node, SplitNode):
+        return {
+            "t": "split",
+            "dim": int(node.dim),
+            "thresholds": [float(t) for t in node.thresholds],
+            "lb": node.lb.tolist(),
+            "ub": node.ub.tolist(),
+            "children": [_tree_to_spec(c) for c in node.children],
+        }
+    return {
+        "t": "sum",
+        "logweights": np.asarray(node.logweights).tolist(),
+        "is_leaf_sum": bool(node.is_leaf_sum),
+        "children": [_tree_to_spec(c) for c in node.children],
+    }
+
+
+def _spec_to_tree(spec):
+    if spec["t"] == "leaf":
+        return LeafNode(
+            obs=np.asarray(spec["obs"], dtype=np.int64),
+            lb=np.asarray(spec["lb"], dtype=np.float64),
+            ub=np.asarray(spec["ub"], dtype=np.float64),
+            kernelid=spec["kernelid"],
+            mean=spec["mean"],
+        )
+    children = [_spec_to_tree(c) for c in spec["children"]]
+    if spec["t"] == "split":
+        return SplitNode(
+            children=children,
+            dim=spec["dim"],
+            thresholds=list(spec["thresholds"]),
+            lb=np.asarray(spec["lb"], dtype=np.float64),
+            ub=np.asarray(spec["ub"], dtype=np.float64),
+        )
+    return SumNode(
+        children=children,
+        logweights=np.asarray(spec["logweights"], dtype=np.float64),
+        is_leaf_sum=spec["is_leaf_sum"],
+    )
+
+
+def save(model, path: str):
+    """Serialize a model (tree spec, data, hypers, weights) to ``path``."""
+    kernels = normalize_kernels_from_layout(model)
+    meta = {
+        "class": type(model).__name__,
+        "tree": _tree_to_spec(model.root),
+        "kernels": [
+            {"kind": k.kind, "logl": list(k.logl), "logsigma": k.logsigma}
+            for k in kernels
+        ],
+        "dtype": np.dtype(model.dtype).name
+        if not isinstance(model.dtype, type)
+        else jnp.dtype(model.dtype).name,
+    }
+    np.savez_compressed(
+        path,
+        meta=json.dumps(meta),
+        X=np.asarray(model.X),
+        y=np.asarray(model.y),
+        theta=np.asarray(model.theta),
+        logweights=np.asarray(model.logweights),
+    )
+
+
+def normalize_kernels_from_layout(model):
+    """Reconstruct KernelSpecs from the model's layout + current hypers
+    (the specs' initial values are irrelevant after training)."""
+    theta = np.asarray(model.theta)
+    tied = theta if theta.ndim == 1 else theta[0]
+    specs = []
+    for k, kind in enumerate(model.layout.kinds):
+        off, nl = model.layout.blocks[k]
+        specs.append(
+            KernelSpec(kind, tuple(tied[off : off + nl].tolist()),
+                       float(tied[off + nl]))
+        )
+    return tuple(specs)
+
+
+def load(path: str, dtype=None):
+    """Restore a model saved with :func:`save`."""
+    from . import models as modelslib
+
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["meta"]))
+    root = _spec_to_tree(meta["tree"])
+    kernels = tuple(
+        KernelSpec(k["kind"], tuple(k["logl"]), k["logsigma"])
+        for k in meta["kernels"]
+    )
+    dtype = dtype or jnp.dtype(meta["dtype"])
+    X = data["X"]
+    y = data["y"]
+
+    plan = compile_tree(root, X)
+    schedule = build_schedule(plan)
+    batch = plan.leaf_batch(X, y, dtype)
+    layout = make_layout(kernels)
+    cls = getattr(modelslib, meta["class"])
+    model = cls(root, plan, schedule, layout, batch,
+                jnp.asarray(data["theta"], dtype=dtype), dtype, X=X, y=y)
+    model.logweights = jnp.asarray(data["logweights"], dtype=dtype)
+    return model

@@ -145,6 +145,130 @@ def fit_shared(
     return posterior_from_chol(Lf, batch)
 
 
+def _pad_batch(batch: LeafBatch, chunk: int):
+    """Pad the leaf axis to a multiple of ``chunk`` with inert (fully
+    masked) leaves."""
+    L = batch.num_leaves
+    pad = (-L) % chunk
+    if pad == 0:
+        return batch, 0
+
+    def pad_arr(a):
+        z = jnp.zeros((pad,) + a.shape[1:], dtype=a.dtype)
+        return jnp.concatenate([a, z], axis=0)
+
+    return LeafBatch(*[pad_arr(a) for a in batch]), pad
+
+
+def default_chunk(nmax: int, dtype, budget_bytes: int = 2 << 30) -> int:
+    """Leaf-chunk size bounding peak memory of one [chunk, Nmax, Nmax]
+    covariance + factor + workspace at roughly ``budget_bytes``."""
+    item = jnp.dtype(dtype).itemsize
+    per_leaf = 4 * nmax * nmax * item  # K, L, and ~2x workspace
+    return max(1, budget_bytes // per_leaf)
+
+
+def fit_light(layout: HyperLayout, theta, batch: LeafBatch,
+              chunk: Optional[int] = None) -> LeafPosterior:
+    """Memory-bounded fit: computes alpha weights and leaf mlls in leaf
+    chunks WITHOUT materializing the [L, Nmax, Nmax] factors (``chol`` of
+    the result is None). Prediction then re-derives factors chunk-wise via
+    :func:`streamed_leaf_predict`. This is the required mode when
+    ``L * Nmax^2`` exceeds HBM (e.g. the N=100k benchmark)."""
+    from .leafgp import centered_y, leaf_mll
+
+    chunk = min(chunk or default_chunk(batch.nmax, batch.x.dtype),
+                batch.num_leaves)
+    bpad, _ = _pad_batch(batch, chunk)
+    L = batch.num_leaves
+    nchunks = bpad.num_leaves // chunk
+    if theta.ndim == 2 and theta.shape[0] != bpad.num_leaves:
+        theta = jnp.concatenate(
+            [theta,
+             jnp.zeros((bpad.num_leaves - L,) + theta.shape[1:], theta.dtype)]
+        )
+
+    def body(i):
+        sl = lambda a: lax.dynamic_slice_in_dim(a, i * chunk, chunk, axis=0)
+        b = LeafBatch(*[sl(a) for a in bpad])
+        th = theta if theta.ndim == 1 else sl(theta)
+        Kn = _noisy_gram(layout, th, b)
+        Lf = jnp.linalg.cholesky(Kn)
+        yc = centered_y(b)
+        alpha = chol.cho_solve_lower(Lf, yc)
+        return alpha, leaf_mll(Lf, yc, alpha, b)
+
+    alpha, mll = lax.map(body, jnp.arange(nchunks))
+    alpha = alpha.reshape((-1,) + alpha.shape[2:])[:L]
+    mll = mll.reshape(-1)[:L]
+    return LeafPosterior(None, alpha, mll)
+
+
+def streamed_leaf_predict(
+    layout: HyperLayout,
+    theta,
+    batch: LeafBatch,
+    xt,
+    tidx=None,
+    tmask=None,
+    chunk: Optional[int] = None,
+):
+    """Fused fit+predict in leaf chunks: per chunk recompute the factor,
+    solve, and emit per-leaf predictive moments; factors never persist.
+
+    ``xt [T, D]`` shared test points; with ``tidx/tmask [L, tmax]`` each
+    leaf predicts only its routed points (DSMGP), otherwise all T (PoE
+    family). Returns ``(mu [L, T or tmax], var, mll [L])``.
+    """
+    from .leafgp import centered_y, leaf_mll, leaf_predict, LeafPosterior as LP
+
+    chunk = min(chunk or default_chunk(batch.nmax, batch.x.dtype),
+                batch.num_leaves)
+    bpad, _ = _pad_batch(batch, chunk)
+    L = batch.num_leaves
+    Lp = bpad.num_leaves
+    nchunks = Lp // chunk
+
+    routed = tidx is not None
+    if routed:
+        padrows = Lp - L
+
+        def padr(a):
+            z = jnp.zeros((padrows,) + a.shape[1:], dtype=a.dtype)
+            return jnp.concatenate([a, z], axis=0)
+
+        tidx_p = padr(tidx)
+        tmask_p = padr(tmask)
+
+    if theta.ndim == 2 and theta.shape[0] == L:
+        theta = jnp.concatenate(
+            [theta, jnp.zeros((Lp - L,) + theta.shape[1:], theta.dtype)]
+        )
+
+    def body(i):
+        sl = lambda a: lax.dynamic_slice_in_dim(a, i * chunk, chunk, axis=0)
+        b = LeafBatch(*[sl(a) for a in bpad])
+        th = theta if theta.ndim == 1 else sl(theta)
+        Kn = _noisy_gram(layout, th, b)
+        Lf = jnp.linalg.cholesky(Kn)
+        yc = centered_y(b)
+        alpha = chol.cho_solve_lower(Lf, yc)
+        mll = leaf_mll(Lf, yc, alpha, b)
+        post = LP(Lf, alpha, mll)
+        if routed:
+            xt_leaf = xt[sl(tidx_p)]
+        else:
+            xt_leaf = xt
+        mu, var = leaf_predict(layout, th, b, post, xt_leaf)
+        return mu, var, mll
+
+    mu, var, mll = lax.map(body, jnp.arange(nchunks))
+    mu = mu.reshape((-1,) + mu.shape[2:])[:L]
+    var = var.reshape((-1,) + var.shape[2:])[:L]
+    mll = mll.reshape(-1)[:L]
+    return mu, var, mll
+
+
 def fit(
     layout: HyperLayout,
     theta,

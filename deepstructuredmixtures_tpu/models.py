@@ -94,11 +94,33 @@ class BaseModel:
             self._jit_cache[key] = jax.jit(f)
         return self._jit_cache[key]
 
-    def fit(self, method: str = "auto", safe: bool = True) -> float:
+    def _factor_bytes(self) -> int:
+        n = self.plan.nmax
+        return self.num_leaves * n * n * jnp.dtype(self.dtype).itemsize
+
+    def fit(self, method: str = "auto", safe: bool = True,
+            store: str = "auto", chunk=None) -> float:
         """Refit all leaf posteriors; returns wall-clock seconds like the
-        reference ``fit!`` (``fit.jl:88,121``)."""
+        reference ``fit!`` (``fit.jl:88,121``).
+
+        ``store``: ``'full'`` caches the [L, Nmax, Nmax] factors for
+        repeated prediction; ``'light'`` keeps only alpha weights + mlls
+        (prediction then streams factor recomputation chunk-wise);
+        ``'auto'`` picks by memory footprint.
+        """
+        if store == "auto":
+            store = "full" if self._factor_bytes() <= (2 << 30) else "light"
         t0 = time.perf_counter()
-        post = self._fit_fn(method, safe)(self.theta, self.batch)
+        if store == "light":
+            key = ("fit_light", chunk)
+            if key not in self._jit_cache:
+                layout = self.layout
+                self._jit_cache[key] = jax.jit(
+                    lambda th, b: fitlib.fit_light(layout, th, b, chunk=chunk)
+                )
+            post = self._jit_cache[key](self.theta, self.batch)
+        else:
+            post = self._fit_fn(method, safe)(self.theta, self.batch)
         jax.block_until_ready(post.mll)
         self.posterior = post
         return time.perf_counter() - t0
@@ -155,8 +177,19 @@ class BaseModel:
 
     # -- prediction helpers -----------------------------------------------
     def _leaf_predict_all(self, xt):
-        """Per-leaf predictions at shared test points: ``(mu, var) [L, T]``."""
+        """Per-leaf predictions at shared test points: ``(mu, var) [L, T]``.
+        Streams factor recomputation chunk-wise when factors are not
+        cached (large models)."""
         post = self._ensure_posterior()
+        if post.chol is None:
+            key = ("predict_all_streamed", int(xt.shape[0]))
+            if key not in self._jit_cache:
+                layout = self.layout
+                self._jit_cache[key] = jax.jit(
+                    lambda th, b, x: fitlib.streamed_leaf_predict(layout, th, b, x)
+                )
+            mu, var, _ = self._jit_cache[key](self.theta, self.batch, xt)
+            return mu, var
         key = "predict_all"
         if key not in self._jit_cache:
             layout, = (self.layout,)
@@ -169,6 +202,23 @@ class BaseModel:
 
     def _as_test(self, xt):
         return jnp.asarray(as_2d(np.asarray(xt)), dtype=self.dtype)
+
+    def _route(self, xt_np, pad_multiple: int = 8):
+        """Host-side routing of test points to their active leaves
+        (≙ getchild recursion): returns padded ``(tidx, tmask) [L, tmax]``."""
+        member = np.asarray(
+            inferlib.leaf_membership(self.plan, jnp.asarray(xt_np, self.dtype))
+        ).T  # [L, T]
+        tcnt = member.sum(axis=1)
+        tmax = max(_round_up(int(tcnt.max()), pad_multiple), pad_multiple)
+        L = self.num_leaves
+        tidx = np.zeros((L, tmax), dtype=np.int32)
+        tmask = np.zeros((L, tmax), dtype=bool)
+        for l in range(L):
+            idx = np.where(member[l])[0]
+            tidx[l, : idx.size] = idx
+            tmask[l, : idx.size] = True
+        return tidx, tmask
 
 
 class DSMGP(BaseModel):
@@ -186,20 +236,29 @@ class DSMGP(BaseModel):
         """
         xt_np = as_2d(np.asarray(xt))
         T = xt_np.shape[0]
-        member = np.asarray(
-            inferlib.leaf_membership(self.plan, jnp.asarray(xt_np, self.dtype))
-        ).T  # [L, T]
-        tcnt = member.sum(axis=1)
-        tmax = max(_round_up(int(tcnt.max()), 8), 8)
-        L = self.num_leaves
-        tidx = np.zeros((L, tmax), dtype=np.int32)
-        tmask = np.zeros((L, tmax), dtype=bool)
-        for l in range(L):
-            idx = np.where(member[l])[0]
-            tidx[l, : idx.size] = idx
-            tmask[l, : idx.size] = True
+        tidx, tmask = self._route(xt_np)
+        tmax = tidx.shape[1]
 
         post = self._ensure_posterior()
+        if post.chol is None:
+            # Streamed path: re-derive factors chunk-wise (large models).
+            key = ("predict_routed_streamed", tmax, T)
+            if key not in self._jit_cache:
+                layout, plan = self.layout, self.plan
+
+                def f(theta, batch, lw, xt, tidx, tmask):
+                    mu, var, _ = fitlib.streamed_leaf_predict(
+                        layout, theta, batch, xt, tidx, tmask
+                    )
+                    return _routed_moment_match(plan, mu, var, lw, tidx, tmask, T)
+
+                self._jit_cache[key] = jax.jit(f)
+            return self._jit_cache[key](
+                self.theta, self.batch, self.logweights,
+                jnp.asarray(xt_np, self.dtype), jnp.asarray(tidx),
+                jnp.asarray(tmask),
+            )
+
         key = ("predict_routed", tmax, T)
         if key not in self._jit_cache:
             layout, plan = self.layout, self.plan

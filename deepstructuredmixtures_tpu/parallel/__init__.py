@@ -1,0 +1,17 @@
+from .mesh import (
+    make_mesh,
+    shard_batch,
+    pad_leaves,
+    make_sharded_mll_fn,
+    make_sharded_train_step,
+    sharded_fit,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "pad_leaves",
+    "make_sharded_mll_fn",
+    "make_sharded_train_step",
+    "sharded_fit",
+]

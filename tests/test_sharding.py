@@ -1,0 +1,93 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (SURVEY §4 item 5)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import deepstructuredmixtures_tpu as dsm
+from deepstructuredmixtures_tpu.parallel import (
+    make_mesh,
+    make_sharded_mll_fn,
+    make_sharded_train_step,
+    pad_leaves,
+    shard_batch,
+    sharded_fit,
+)
+from deepstructuredmixtures_tpu.train import make_mll_fn
+
+rng = np.random.default_rng(0)
+N = 300
+X = np.sort(rng.uniform(0, 1, N)).reshape(-1, 1)
+Y = np.sin(X[:, 0] * 4 * np.pi) + rng.normal(0, 0.2, N)
+
+
+def _model(seed=1):
+    return dsm.build_dsmgp(X, Y, V=2, K=3, M=20, kernel=dsm.IsoSE(0.0, 0.0),
+                           log_noise=-1.0, seed=seed, do_fit=False)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh(8)
+    assert mesh.shape["experts"] == 8
+
+
+def test_pad_leaves_noop_semantics():
+    m = _model()
+    padded = pad_leaves(m.batch, 8)
+    assert padded.num_leaves % 8 == 0
+    assert not bool(padded.mask[m.num_leaves :].any())
+
+
+def test_sharded_mll_matches_single_device():
+    m = _model()
+    mesh = make_mesh(8)
+    f_sharded, _ = make_sharded_mll_fn(m.layout, m.plan, m.batch, mesh)
+    f_local = make_mll_fn(m.layout, m.plan, m.batch)
+    v1 = float(jax.jit(f_sharded)(m.theta))
+    v2 = float(f_local(m.theta))
+    assert abs(v1 - v2) < 1e-10
+
+
+def test_sharded_grad_matches_single_device():
+    m = _model()
+    mesh = make_mesh(8)
+    f_sharded, _ = make_sharded_mll_fn(m.layout, m.plan, m.batch, mesh)
+    f_local = make_mll_fn(m.layout, m.plan, m.batch)
+    g1 = np.asarray(jax.jit(jax.grad(f_sharded))(m.theta))
+    g2 = np.asarray(jax.grad(f_local)(m.theta))
+    np.testing.assert_allclose(g1, g2, atol=1e-9)
+
+
+def test_sharded_fit_matches_local():
+    m = _model()
+    mesh = make_mesh(8)
+    post = sharded_fit(m.layout, m.theta, m.batch, mesh)
+    m.fit(method="batched")
+    L = m.num_leaves
+    np.testing.assert_allclose(
+        np.asarray(post.mll)[:L], np.asarray(m.posterior.mll), atol=1e-10
+    )
+
+
+def test_sharded_train_step_runs_and_improves():
+    m = _model()
+    mesh = make_mesh(8)
+    step, init, _ = make_sharded_train_step(
+        m.layout, m.plan, m.batch, mesh, optax.adam(5e-2)
+    )
+    theta = m.theta
+    opt_state = init(theta)
+    v0, theta, opt_state = step(theta, opt_state)
+    v_prev = float(v0)
+    for _ in range(10):
+        v, theta, opt_state = step(theta, opt_state)
+    assert float(v) > v_prev
+
+
+def test_batch_actually_sharded():
+    m = _model()
+    mesh = make_mesh(8)
+    sb = shard_batch(m.batch, mesh)
+    # each device holds 1/8 of the leaf axis
+    shard_sizes = {s.data.shape[0] for s in sb.x.addressable_shards}
+    assert shard_sizes == {sb.num_leaves // 8}
