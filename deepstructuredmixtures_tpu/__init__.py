@@ -23,7 +23,24 @@ from .models import (
     build_poe,
     build_bcm,
 )
-from .train import train, finetune
+from .train import train, train_gp, finetune
+from .introspect import (
+    blockmatrix,
+    blockindecies,
+    observation_counts,
+    get_log_noise,
+    left_gp,
+    right_gp,
+    rand_init,
+)
+from .plotting import kernelid_function
+from . import checkpoint
+
+
+def prediction(model, xt):
+    """Alias for ``model.predict`` (reference README API:
+    ``m, s = prediction(model, testx)``)."""
+    return model.predict(xt)
 
 __all__ = [
     "DSMGPConfig",
@@ -49,7 +66,18 @@ __all__ = [
     "build_poe",
     "build_bcm",
     "train",
+    "train_gp",
     "finetune",
+    "prediction",
+    "blockmatrix",
+    "blockindecies",
+    "observation_counts",
+    "get_log_noise",
+    "left_gp",
+    "right_gp",
+    "rand_init",
+    "kernelid_function",
+    "checkpoint",
 ]
 
 __version__ = "0.1.0"

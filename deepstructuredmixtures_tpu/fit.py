@@ -269,6 +269,64 @@ def streamed_leaf_predict(
     return mu, var, mll
 
 
+# ---------------------------------------------------------------------------
+# Bucketed execution — per-size-class batches (plan.BucketSpec)
+# ---------------------------------------------------------------------------
+
+
+def _bucket_chunk(nmax: int, n_leaves: int, dtype,
+                  budget: int = 2 << 30) -> int:
+    return min(default_chunk(nmax, dtype, budget), n_leaves)
+
+
+def bucketed_leaf_mlls(layout: HyperLayout, theta, batches, leaf_ids, L,
+                       budget: int = 2 << 30, remat: bool = False):
+    """All leaf mlls [L] computed bucket-by-bucket (each bucket chunked to
+    the memory budget). ``theta`` tied [P] or per-leaf [L, P]."""
+    from .train import leaf_mlls_fn  # chunked + rematerialized helper
+
+    mll = jnp.zeros((L,), dtype=batches[0].x.dtype)
+    for b, ids in zip(batches, leaf_ids):
+        th = theta if theta.ndim == 1 else theta[jnp.asarray(ids)]
+        chunk = _bucket_chunk(b.nmax, b.num_leaves, b.x.dtype, budget)
+        f = leaf_mlls_fn(layout, b, chunk if chunk < b.num_leaves else None)
+        mll = mll.at[jnp.asarray(ids)].set(f(th))
+    return mll
+
+
+def bucketed_streamed_predict(
+    layout: HyperLayout,
+    theta,
+    batches,
+    leaf_ids,
+    L,
+    xt,
+    tidx=None,
+    tmask=None,
+    budget: int = 2 << 30,
+):
+    """Fused fit+predict over size buckets. Returns per-leaf moments
+    scattered back to global leaf order: ``(mu [L, T|tmax], var, mll [L])``."""
+    T = xt.shape[0] if tidx is None else tidx.shape[1]
+    dt = batches[0].x.dtype
+    mu = jnp.zeros((L, T), dtype=dt)
+    var = jnp.ones((L, T), dtype=dt)
+    mll = jnp.zeros((L,), dtype=dt)
+    for b, ids in zip(batches, leaf_ids):
+        idx = jnp.asarray(ids)
+        th = theta if theta.ndim == 1 else theta[idx]
+        chunk = _bucket_chunk(b.nmax, b.num_leaves, b.x.dtype, budget)
+        ti = None if tidx is None else tidx[idx]
+        tm = None if tmask is None else tmask[idx]
+        mu_b, var_b, mll_b = streamed_leaf_predict(
+            layout, th, b, xt, ti, tm, chunk=chunk
+        )
+        mu = mu.at[idx].set(mu_b)
+        var = var.at[idx].set(var_b)
+        mll = mll.at[idx].set(mll_b)
+    return mu, var, mll
+
+
 def fit(
     layout: HyperLayout,
     theta,

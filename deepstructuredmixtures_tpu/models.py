@@ -63,6 +63,19 @@ class BaseModel:
         self.logweights = jnp.asarray(plan.init_logweights, dtype=dtype)
         self.posterior: Optional[LeafPosterior] = None
         self._jit_cache = {}
+        # size-bucketed batches (plan.BucketSpec) for the streaming paths
+        if X is not None and y is not None:
+            from .plan import bucket_batches, bucketize
+
+            self.bucket_spec = bucketize(plan)
+            self.bucket_batches = bucket_batches(plan, self.bucket_spec, X, y, dtype)
+        else:
+            from .plan import BucketSpec
+
+            self.bucket_spec = BucketSpec(
+                (plan.nmax,), (np.arange(plan.num_leaves, dtype=np.int32),)
+            )
+            self.bucket_batches = (batch,)
 
     # -- overlap matrix / mapping (≙ model.D, model.gpmap) ----------------
     @property
@@ -112,13 +125,16 @@ class BaseModel:
             store = "full" if self._factor_bytes() <= (2 << 30) else "light"
         t0 = time.perf_counter()
         if store == "light":
-            key = ("fit_light", chunk)
+            key = ("fit_light_bucketed", chunk)
             if key not in self._jit_cache:
-                layout = self.layout
-                self._jit_cache[key] = jax.jit(
-                    lambda th, b: fitlib.fit_light(layout, th, b, chunk=chunk)
-                )
-            post = self._jit_cache[key](self.theta, self.batch)
+                layout, ids, L = self.layout, self.bucket_spec.leaf_ids, self.num_leaves
+
+                def f(th, batches):
+                    mll = fitlib.bucketed_leaf_mlls(layout, th, batches, ids, L)
+                    return LeafPosterior(None, None, mll)
+
+                self._jit_cache[key] = jax.jit(f)
+            post = self._jit_cache[key](self.theta, self.bucket_batches)
         else:
             post = self._fit_fn(method, safe)(self.theta, self.batch)
         jax.block_until_ready(post.mll)
@@ -184,12 +200,16 @@ class BaseModel:
         if post.chol is None:
             key = ("predict_all_streamed", int(xt.shape[0]))
             if key not in self._jit_cache:
-                layout = self.layout
-                self._jit_cache[key] = jax.jit(
-                    lambda th, b, x: fitlib.streamed_leaf_predict(layout, th, b, x)
-                )
-            mu, var, _ = self._jit_cache[key](self.theta, self.batch, xt)
-            return mu, var
+                layout, ids, L = self.layout, self.bucket_spec.leaf_ids, self.num_leaves
+
+                def f(th, batches, x):
+                    mu, var, _ = fitlib.bucketed_streamed_predict(
+                        layout, th, batches, ids, L, x
+                    )
+                    return mu, var
+
+                self._jit_cache[key] = jax.jit(f)
+            return self._jit_cache[key](self.theta, self.bucket_batches, xt)
         key = "predict_all"
         if key not in self._jit_cache:
             layout, = (self.layout,)
@@ -205,20 +225,14 @@ class BaseModel:
 
     def _route(self, xt_np, pad_multiple: int = 8):
         """Host-side routing of test points to their active leaves
-        (≙ getchild recursion): returns padded ``(tidx, tmask) [L, tmax]``."""
-        member = np.asarray(
-            inferlib.leaf_membership(self.plan, jnp.asarray(xt_np, self.dtype))
-        ).T  # [L, T]
-        tcnt = member.sum(axis=1)
+        (≙ getchild recursion): returns padded ``(tidx, tmask) [L, tmax]``.
+        Uses the native box-routing kernel when available."""
+        from .utils.native import pack_routes, route_box
+
+        member = route_box(xt_np, self.plan.leaf_lb, self.plan.leaf_ub)  # [T, L]
+        tcnt = member.sum(axis=0)
         tmax = max(_round_up(int(tcnt.max()), pad_multiple), pad_multiple)
-        L = self.num_leaves
-        tidx = np.zeros((L, tmax), dtype=np.int32)
-        tmask = np.zeros((L, tmax), dtype=bool)
-        for l in range(L):
-            idx = np.where(member[l])[0]
-            tidx[l, : idx.size] = idx
-            tmask[l, : idx.size] = True
-        return tidx, tmask
+        return pack_routes(member, tmax)
 
 
 class DSMGP(BaseModel):
@@ -241,20 +255,22 @@ class DSMGP(BaseModel):
 
         post = self._ensure_posterior()
         if post.chol is None:
-            # Streamed path: re-derive factors chunk-wise (large models).
+            # Streamed path: re-derive factors bucket/chunk-wise (large
+            # models; factors never persist).
             key = ("predict_routed_streamed", tmax, T)
             if key not in self._jit_cache:
                 layout, plan = self.layout, self.plan
+                ids, L = self.bucket_spec.leaf_ids, self.num_leaves
 
-                def f(theta, batch, lw, xt, tidx, tmask):
-                    mu, var, _ = fitlib.streamed_leaf_predict(
-                        layout, theta, batch, xt, tidx, tmask
+                def f(theta, batches, lw, xt, tidx, tmask):
+                    mu, var, _ = fitlib.bucketed_streamed_predict(
+                        layout, theta, batches, ids, L, xt, tidx, tmask
                     )
                     return _routed_moment_match(plan, mu, var, lw, tidx, tmask, T)
 
                 self._jit_cache[key] = jax.jit(f)
             return self._jit_cache[key](
-                self.theta, self.batch, self.logweights,
+                self.theta, self.bucket_batches, self.logweights,
                 jnp.asarray(xt_np, self.dtype), jnp.asarray(tidx),
                 jnp.asarray(tmask),
             )

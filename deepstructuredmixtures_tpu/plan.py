@@ -218,10 +218,12 @@ def compile_tree(
                 root_child[leaf.index] = c_i
 
     # --- overlap matrix D (≙ getOverlap, fit.jl:12-39) -------------------
+    from .utils.native import intersect_counts
+
     masks = np.zeros((L, N), dtype=bool)
     for i, leaf in enumerate(leaves):
         masks[i, leaf.obs] = True
-    inter = (masks.astype(np.int64) @ masks.astype(np.int64).T).astype(np.float64)
+    inter = intersect_counts(masks).astype(np.float64)
     sizes = np.array([l.obs.size for l in leaves], dtype=np.float64)
     kids = np.array([l.kernelid for l in leaves], dtype=np.int64)
     Dmat = np.zeros((L, L), dtype=np.float64)
@@ -268,6 +270,71 @@ def compile_tree(
         root_child_id=root_child,
         overlap=Dmat,
     )
+
+
+# ---------------------------------------------------------------------------
+# Size bucketing — ragged leaf sizes (SURVEY §7 hard-part #2)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketSpec:
+    """Leaves grouped into size classes so each class pads to its own Nmax.
+
+    Random trees produce heavily skewed leaf sizes (often >10x between the
+    smallest and largest expert); padding everything to the global maximum
+    wastes O((Nmax/median)^3) Cholesky FLOPs. Buckets follow a geometric
+    size grid, bounding padding waste per leaf by the growth factor.
+    """
+
+    nmaxs: Tuple[int, ...]
+    leaf_ids: Tuple[np.ndarray, ...]  # global leaf index per bucket
+
+
+def bucketize(plan: SPNPlan, base: int = 128, growth: float = 1.5) -> BucketSpec:
+    sizes = np.array([o.size for o in plan.leaf_obs])
+    grid = [base]
+    while grid[-1] < sizes.max():
+        grid.append(_round_up(int(np.ceil(grid[-1] * growth)), 8))
+    keys = np.searchsorted(np.asarray(grid), sizes, side="left")
+    nmaxs, ids = [], []
+    for k in sorted(set(keys.tolist())):
+        sel = np.where(keys == k)[0].astype(np.int32)
+        nmaxs.append(int(grid[k]))
+        ids.append(sel)
+    return BucketSpec(tuple(nmaxs), tuple(ids))
+
+
+def bucket_batches(plan: SPNPlan, spec: BucketSpec, X, y, dtype):
+    """One padded LeafBatch per size bucket."""
+    from .leafgp import LeafBatch
+
+    out = []
+    for nmax_b, ids in zip(spec.nmaxs, spec.leaf_ids):
+        D = plan.dim
+        Lb = ids.size
+        xb = np.zeros((Lb, nmax_b, D))
+        yb = np.zeros((Lb, nmax_b))
+        mb = np.zeros((Lb, nmax_b), dtype=bool)
+        nb = np.zeros((Lb,), dtype=np.int32)
+        for r, l in enumerate(ids):
+            obs = plan.leaf_obs[l]
+            n = obs.size
+            xb[r, :n] = X[obs]
+            yb[r, :n] = y[obs]
+            mb[r, :n] = True
+            nb[r] = n
+        out.append(
+            LeafBatch(
+                x=jnp.asarray(xb, dtype=dtype),
+                y=jnp.asarray(yb, dtype=dtype),
+                mask=jnp.asarray(mb),
+                n=jnp.asarray(nb),
+                mean=jnp.asarray(plan.leaf_mean[ids], dtype=dtype),
+                kernelid=jnp.asarray(plan.leaf_kernelid[ids], dtype=jnp.int32),
+            )
+        )
+    return tuple(out)
 
 
 # ---------------------------------------------------------------------------

@@ -100,6 +100,20 @@ def make_mll_fn(layout, plan: SPNPlan, batch: LeafBatch, chunk=None):
     return f
 
 
+def make_mll_fn_bucketed(layout, plan: SPNPlan, batches, leaf_ids,
+                         budget: int = 2 << 30):
+    """``theta -> root mll`` over size-bucketed batches (large models)."""
+    from .fit import bucketed_leaf_mlls
+
+    L = plan.num_leaves
+
+    def f(theta):
+        mll = bucketed_leaf_mlls(layout, theta, batches, leaf_ids, L, budget)
+        return inferlib.root_mll(plan, mll)
+
+    return f
+
+
 # ---------------------------------------------------------------------------
 # train! — tied hyperparameters
 # ---------------------------------------------------------------------------
@@ -129,7 +143,12 @@ def train(
         else model.theta
     )
 
-    mll_fn = make_mll_fn(layout, plan, batch, chunk)
+    if chunk is None and getattr(model, "bucket_batches", None) is not None:
+        mll_fn = make_mll_fn_bucketed(
+            layout, plan, model.bucket_batches, model.bucket_spec.leaf_ids
+        )
+    else:
+        mll_fn = make_mll_fn(layout, plan, batch, chunk)
     vg = jax.value_and_grad(mll_fn)
 
     @jax.jit

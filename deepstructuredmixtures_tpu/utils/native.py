@@ -1,0 +1,124 @@
+"""ctypes loader for the native host library (``native/libdsmhost.so``).
+
+Provides the hot host-side kernels of the structure compiler with
+transparent NumPy fallbacks: pairwise bitset intersection counts (the core
+of the overlap matrix D, ≙ ``getOverlap``'s xor/popcount loop,
+``fit.jl:27-31``), half-open box routing of test points (≙ ``getchild``,
+``common.jl:101-122``), and routed-index packing.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _find_lib():
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    cands = [
+        os.path.join(here, "native", "libdsmhost.so"),
+        os.path.join(os.path.dirname(here), "native", "libdsmhost.so"),
+    ]
+    for c in cands:
+        if os.path.exists(c):
+            return c
+    return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _find_lib()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.dsm_intersect_counts.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.dsm_route_box.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.dsm_pack_routes.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def intersect_counts(masks_bool: np.ndarray) -> np.ndarray:
+    """Pairwise |obs_i ∩ obs_j| from a boolean [L, N] membership matrix."""
+    L, N = masks_bool.shape
+    lib = get_lib()
+    if lib is None:
+        m = masks_bool.astype(np.int64)
+        return m @ m.T
+    packed = np.packbits(masks_bool, axis=1, bitorder="little")
+    W = (packed.shape[1] + 7) // 8
+    pad = W * 8 - packed.shape[1]
+    if pad:
+        packed = np.concatenate(
+            [packed, np.zeros((L, pad), dtype=np.uint8)], axis=1
+        )
+    words = np.ascontiguousarray(packed).view(np.uint64).reshape(L, W)
+    out = np.zeros((L, L), dtype=np.int64)
+    lib.dsm_intersect_counts(_ptr(words, ctypes.c_uint64), L, W,
+                             _ptr(out, ctypes.c_int64))
+    return out
+
+
+def route_box(xt: np.ndarray, lb: np.ndarray, ub: np.ndarray) -> np.ndarray:
+    """Membership [T, L]: ``all(lb < x <= ub)`` per (point, leaf)."""
+    xt = np.ascontiguousarray(xt, dtype=np.float64)
+    lb = np.ascontiguousarray(lb, dtype=np.float64)
+    ub = np.ascontiguousarray(ub, dtype=np.float64)
+    T, D = xt.shape
+    L = lb.shape[0]
+    lib = get_lib()
+    if lib is None:
+        ok = (xt[:, None, :] > lb[None]) & (xt[:, None, :] <= ub[None])
+        return np.all(ok, axis=-1)
+    out = np.zeros((T, L), dtype=np.uint8)
+    lib.dsm_route_box(_ptr(xt, ctypes.c_double), T, D,
+                      _ptr(lb, ctypes.c_double), _ptr(ub, ctypes.c_double), L,
+                      _ptr(out, ctypes.c_uint8))
+    return out.astype(bool)
+
+
+def pack_routes(member: np.ndarray, tmax: int):
+    """Per-leaf padded test indices from a [T, L] membership matrix."""
+    T, L = member.shape
+    lib = get_lib()
+    if lib is None:
+        tidx = np.zeros((L, tmax), dtype=np.int32)
+        tmask = np.zeros((L, tmax), dtype=bool)
+        memT = member.T
+        for l in range(L):
+            idx = np.where(memT[l])[0]
+            tidx[l, : idx.size] = idx
+            tmask[l, : idx.size] = True
+        return tidx, tmask
+    mem = np.ascontiguousarray(member, dtype=np.uint8)
+    tidx = np.zeros((L, tmax), dtype=np.int32)
+    tmask = np.zeros((L, tmax), dtype=np.uint8)
+    lib.dsm_pack_routes(_ptr(mem, ctypes.c_uint8), T, L, tmax,
+                        _ptr(tidx, ctypes.c_int32), _ptr(tmask, ctypes.c_uint8))
+    return tidx, tmask.astype(bool)
