@@ -107,6 +107,19 @@ def infer_weights(plan: SPNPlan, leaf_mlls):
     return jnp.where(is_leaf_sum, lw, uniform), z
 
 
+def leaf_responsibilities(plan: SPNPlan, leaf_mlls):
+    """Posterior responsibility of every leaf under uniform sum weights:
+    ``w_l = exp(mll_l + path_prefix − root)`` — the quantity the reference's
+    hand-rolled gradient propagation computes per leaf
+    (``∇mll!``, ``optimize.jl:42-89``: ``w = exp(ℓ + ∇parent − logS)``) and
+    its dict-returning soft-gradient variant exposes
+    (``optimize.jl:153-183``). Here it is obtained in one line as the
+    gradient of the root mll w.r.t. the leaf mll vector — the autodiff
+    identity behind our entire training path. Returns ``[L]`` summing to 1.
+    """
+    return jax.grad(lambda lm: root_mll(plan, lm))(leaf_mlls)
+
+
 def reset_weights(plan: SPNPlan):
     """Uniform ``-log K`` weights everywhere (≙ ``reset_weights!``,
     ``common.jl:357-363``)."""

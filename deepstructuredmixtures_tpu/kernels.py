@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Sequence, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -94,10 +95,12 @@ def ArdLinear(logl: Sequence[float]) -> KernelSpec:
 def _sqdist(x1, x2):
     """Pairwise squared Euclidean distances [N, M] via the MXU-friendly
     inner-product expansion (reference uses Distances.SqEuclidean,
-    ``kernels.jl:83``)."""
+    ``kernels.jl:83``). HIGHEST matmul precision: nearby points cancel
+    ``n1 + n2`` against ``2<x1,x2>`` almost completely, which the default
+    bf16 MXU pass cannot represent."""
     n1 = jnp.sum(x1 * x1, axis=-1)
     n2 = jnp.sum(x2 * x2, axis=-1)
-    cross = x1 @ x2.T
+    cross = jnp.matmul(x1, x2.T, precision=jax.lax.Precision.HIGHEST)
     d = n1[:, None] + n2[None, :] - 2.0 * cross
     return jnp.maximum(d, 0.0)
 
@@ -122,12 +125,14 @@ def gram(kind: str, logl, logsigma, x1, x2):
     if kind == KIND_ISO_LINEAR:
         # kappa(z) = z / exp(2 logl), z = <x, x'> (kernels.jl:189,194 with
         # the IsoKernel l = lengthscale^2 convention at kernels.jl:22).
-        return (x1 @ x2.T) * jnp.exp(-2.0 * logl[0])
+        return jnp.matmul(
+            x1, x2.T, precision=jax.lax.Precision.HIGHEST
+        ) * jnp.exp(-2.0 * logl[0])
     if kind == KIND_ARD_LINEAR:
         # sum_d x_d x'_d / exp(2 logl_d) — additive per-dim outer products
         # (kernels.jl:232,234-246).
         scaled = x1 * jnp.exp(-2.0 * logl)
-        return scaled @ x2.T
+        return jnp.matmul(scaled, x2.T, precision=jax.lax.Precision.HIGHEST)
     raise ValueError(f"unknown kernel kind {kind!r}; expected one of {_ALL_KINDS}")
 
 

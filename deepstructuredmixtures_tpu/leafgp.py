@@ -188,7 +188,9 @@ def leaf_predict(layout, theta, batch: LeafBatch, post: LeafPosterior, xt):
     """
     Knt = leaf_gram(layout, theta, batch, xt)  # [L, Nmax, T]
     Knt = jnp.where(batch.mask[:, :, None], Knt, 0.0)
-    mu = batch.mean[:, None] + jnp.einsum("lnt,ln->lt", Knt, post.alpha)
+    mu = batch.mean[:, None] + jnp.einsum(
+        "lnt,ln->lt", Knt, post.alpha, precision=jax.lax.Precision.HIGHEST
+    )
     V = chol.solve_lower(post.chol, Knt)  # [L, Nmax, T]
     ktt = leaf_gram_diag(layout, theta, batch, xt)  # [L, T]
     noise = leaf_noise(layout, theta, batch)

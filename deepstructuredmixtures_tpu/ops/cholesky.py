@@ -189,9 +189,11 @@ def chol_continue(A, Ltop, P):
     T = lax.linalg.triangular_solve(Lt, A, left_side=True, lower=True)
 
     # S = A - U^T U with U = rows<P of T: the (P:, P:) block equals
-    # A22 - L21 L21^T.
+    # A22 - L21 L21^T. HIGHEST precision: on TPU the default MXU pass is
+    # bf16, and this subtraction cancels O(||A||) down to the Schur
+    # complement (observed 1e-3 relative mll error otherwise).
     U = jnp.where(in_p[:, None], T, 0.0)
-    S = A - U.T @ U
+    S = A - jnp.matmul(U.T, U, precision=lax.Precision.HIGHEST)
     Shat = jnp.where(neither_p, S, eye)
     L22 = jnp.linalg.cholesky(Shat)
 

@@ -54,6 +54,7 @@ def _fused_kernel(n_ref, logl_ref, logsigma_ref, noise_ref, x_ref, out_ref,
     cross = jax.lax.dot_general(
         x, x, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     d2 = jnp.maximum(sq + sq.T - 2.0 * cross, 0.0)
     K = jnp.exp(2.0 * logsigma) * jnp.exp(-0.5 * d2 * jnp.exp(-2.0 * logl))
@@ -105,23 +106,30 @@ def _fused_kernel(n_ref, logl_ref, logsigma_ref, noise_ref, x_ref, out_ref,
 
         if kb + 1 < nb:
             panel = jnp.where(row_ids >= s + BLOCK, tile, 0.0)
+            # HIGHEST precision (3-pass bf16 decomposition) is required: the
+            # trailing update cancels O(||K||) terms down to O(noise), which
+            # a single bf16 MXU pass cannot represent (negative diagonals →
+            # NaN for ill-conditioned SE grams).
             upd = jax.lax.dot_general(
                 panel, panel,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             out_ref[0] = out_ref[0] - upd
 
     out_ref[0] = jnp.where(cidx <= ridx, out_ref[0], 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
-def fused_gram_cholesky(x, n, logl, logsigma, noise, eps: float = 1e-8):
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_gram_cholesky(x, n, logl, logsigma, noise, eps: float = 1e-8,
+                        interpret: bool = False):
     """Batched fused IsoSE-gram + Cholesky.
 
     ``x [L, N, D]`` (N a multiple of 128, ≤ ~1024 for VMEM residency),
     ``n [L]`` valid sizes, ``logl/logsigma/noise [L]`` per-leaf scalars.
     Returns the lower factors ``[L, N, N]`` (identity on padding), float32.
+    ``interpret=True`` runs the Pallas interpreter (CPU test suite).
     """
     L, nmax, d = x.shape
     if nmax % BLOCK != 0:
@@ -146,6 +154,7 @@ def fused_gram_cholesky(x, n, logl, logsigma, noise, eps: float = 1e-8):
         out_specs=pl.BlockSpec((1, nmax, nmax), lambda l: (l, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L, nmax, nmax), jnp.float32),
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=int(L * (2 * nmax * nmax * d + nmax**3 / 3)),
             bytes_accessed=int(L * (nmax * d + nmax * nmax) * 4),

@@ -193,7 +193,9 @@ def build_tree(X, y, config: DSMGPConfig, rng: Optional[np.random.Generator] = N
     X = np.asarray(X, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     assert X.ndim == 2 and X.shape[0] == y.shape[0]
-    assert np.all(np.isfinite(X))
+    # ≙ the reference's data-finiteness guards (treeStructure.jl:7,14)
+    assert np.all(np.isfinite(X)), "non-finite training inputs"
+    assert np.all(np.isfinite(y)), "non-finite training targets"
     N, D = X.shape
     lb = np.full(D, -np.inf)
     ub = np.full(D, np.inf)
