@@ -6,6 +6,11 @@ from .mesh import (
     make_sharded_train_step,
     sharded_fit,
 )
+from .dist_chol import (
+    sharded_cholesky,
+    sharded_solve_lower,
+    sharded_gp_fit,
+)
 
 __all__ = [
     "make_mesh",
@@ -14,4 +19,7 @@ __all__ = [
     "make_sharded_mll_fn",
     "make_sharded_train_step",
     "sharded_fit",
+    "sharded_cholesky",
+    "sharded_solve_lower",
+    "sharded_gp_fit",
 ]

@@ -1,0 +1,272 @@
+"""Distributed blocked Cholesky over the device mesh.
+
+The reference caps every expert at one host's memory: a leaf GP's covariance
+is a dense [N, N] Julia array factored by one LAPACK ``potrf!``
+(``gaussianprocess.jl:101``). This module removes that cap — the TPU-native
+"scale the big dimension" mechanism called out in SURVEY §5: when a single
+leaf's covariance exceeds one chip's HBM, the matrix is *row-sharded* across
+the ICI mesh and factored by a right-looking blocked Cholesky in which
+
+  1. the owner chip factors the B x B diagonal block locally,
+  2. the factored panel is broadcast over ICI (``psum`` of a one-hot
+     contribution — XLA lowers it to a broadcast),
+  3. every chip updates its own rows: a triangular solve against the
+     diagonal block followed by a rank-B MXU trailing update restricted to
+     the not-yet-factored columns.
+
+Communication is O(N^2) total (one [B, N] panel broadcast per step) against
+O(N^3) compute — the classic ScaLAPACK pattern, expressed with
+``shard_map`` + ``jax.lax`` collectives instead of MPI.
+
+All shapes are static; the panel loop is a ``lax.fori_loop`` whose
+per-step owner/row masks are computed from traced indices, so one compiled
+program serves every N. HIGHEST matmul precision throughout (same
+cancellation argument as ``ops/cholesky.py``).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import EXPERT_AXIS
+
+HIGH = jax.lax.Precision.HIGHEST
+
+
+def _local_cholesky_step(A_loc, Ldone_loc, k, *, block, rows, axis):
+    """One panel step of the right-looking factorization.
+
+    ``A_loc [rows, N]``: this chip's rows of the trailing matrix;
+    ``Ldone_loc [rows, N]``: this chip's rows of the factor built so far.
+    """
+    me = lax.axis_index(axis)
+    N = A_loc.shape[1]
+    s = k * block
+
+    # --- global/local row coordinates ------------------------------------
+    gri = me * rows + lax.broadcasted_iota(jnp.int32, (rows, 1), 0)  # [r,1]
+    cj = lax.broadcasted_iota(jnp.int32, (1, N), 1)  # [1,N]
+
+    # --- 1. diagonal block on its owner ----------------------------------
+    owner = s // rows  # panel rows assumed within one shard (block | rows)
+    lo = s - owner * rows  # local row offset on the owner
+    # every chip slices [block, block] at its own guess; only the owner's is
+    # real — zero elsewhere and broadcast by psum.
+    lo_safe = jnp.where(me == owner, lo, 0)
+    Dblk = lax.dynamic_slice(A_loc, (lo_safe, s), (block, block))
+    Dblk = jnp.where(me == owner, Dblk, 0.0)
+    Dblk = lax.psum(Dblk, axis)
+    Lbb = jnp.linalg.cholesky(Dblk)  # [B, B] replicated
+
+    # --- 2. panel solve on every chip -------------------------------------
+    # E = A[:, s:s+B] for rows strictly below the panel: E = L21 Lbb^T
+    # => L21 = E Lbb^{-T}  (triangular solve from the right).
+    Eloc = lax.dynamic_slice(A_loc, (0, s), (rows, block))
+    below = gri >= s + block  # [r, 1]
+    Eloc = jnp.where(below, Eloc, 0.0)
+    L21 = lax.linalg.triangular_solve(
+        Lbb, Eloc, left_side=False, lower=True, transpose_a=True
+    )  # [rows, B]
+
+    # the owner's panel rows carry Lbb itself
+    in_panel = (gri >= s) & (gri < s + block)  # [r, 1]
+    lrow = jnp.clip(gri - s, 0, block - 1)[:, 0]  # local panel row ids
+    Lbb_rows = Lbb[lrow]  # [rows, B]
+    panel_loc = jnp.where(in_panel, Lbb_rows, L21)  # [rows, B]
+
+    # --- 3. write the panel into the factor -------------------------------
+    colmask = (cj >= s) & (cj < s + block)  # [1, N]
+    panel_full = jnp.zeros_like(Ldone_loc)
+    panel_full = lax.dynamic_update_slice(panel_full, panel_loc, (0, s))
+    Ldone_loc = jnp.where(colmask, panel_full, Ldone_loc)
+
+    # --- 4. trailing update over ICI ---------------------------------------
+    # every chip needs the full [N, B] panel to update its rows against all
+    # trailing columns: one all-gather per step.
+    panel_all = lax.all_gather(
+        jnp.where(below, L21, 0.0), axis, axis=0, tiled=True
+    )  # [N, B] (zeros for rows <= s+B)
+    upd = jnp.matmul(
+        jnp.where(below, L21, 0.0), panel_all.T, precision=HIGH
+    )  # [rows, N]
+    trailing = (cj >= s + block)
+    A_loc = jnp.where(below & trailing, A_loc - upd, A_loc)
+    return A_loc, Ldone_loc
+
+
+def sharded_cholesky(A, mesh: Mesh, axis: str = EXPERT_AXIS, block: int = 256):
+    """Lower Cholesky factor of SPD ``A [N, N]``, row-sharded over ``mesh``.
+
+    ``N`` must be divisible by ``num_devices * block`` (pad with identity
+    rows via :func:`ops.cholesky.pad_identity` for ragged sizes, exactly as
+    the leaf batches do). Returns ``L`` with the same row sharding.
+    """
+    N = A.shape[0]
+    ndev = mesh.shape[axis]
+    if N % ndev != 0:
+        raise ValueError(f"N={N} not divisible by mesh size {ndev}")
+    rows = N // ndev
+    if rows % block != 0:
+        raise ValueError(
+            f"per-device rows {rows} not divisible by block {block}; "
+            f"use block <= {rows} dividing it"
+        )
+    nsteps = N // block
+
+    spec = P(axis, None)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=spec,
+        check_vma=False,
+    )
+    def run(A_loc):
+        Ldone = jnp.zeros_like(A_loc)
+
+        def body(k, carry):
+            A_loc, Ldone = carry
+            return _local_cholesky_step(
+                A_loc, Ldone, k, block=block, rows=rows, axis=axis
+            )
+
+        _, Ldone = lax.fori_loop(0, nsteps, body, (A_loc, Ldone))
+        # keep only the lower triangle
+        me = lax.axis_index(axis)
+        gri = me * rows + lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        cj = lax.broadcasted_iota(jnp.int32, (1, A_loc.shape[1]), 1)
+        return jnp.where(cj <= gri, Ldone, 0.0)
+
+    A = jax.device_put(A, NamedSharding(mesh, spec))
+    return run(A)
+
+
+def sharded_solve_lower(Lf, b, mesh: Mesh, axis: str = EXPERT_AXIS,
+                        block: int = 256):
+    """Forward substitution ``L x = b`` with ``Lf [N, N]`` row-sharded.
+
+    Blocked: per step the owner solves its ``B``-block against the running
+    residual, the solution block is broadcast, and every chip updates its
+    residual rows with one MXU matvec — the distributed counterpart of the
+    alpha solve (``gaussianprocess.jl:105``).
+    """
+    N = Lf.shape[0]
+    ndev = mesh.shape[axis]
+    rows = N // ndev
+    nsteps = N // block
+    spec = P(axis, None)
+    vspec = P(axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec, vspec),
+        out_specs=vspec,
+        check_vma=False,
+    )
+    def run(L_loc, b_loc):
+        me = lax.axis_index(axis)
+        gri = me * rows + lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+
+        def body(k, carry):
+            b_loc, x_loc = carry
+            s = k * block
+            owner = s // rows
+            lo = jnp.where(me == owner, s - owner * rows, 0)
+            Dblk = lax.dynamic_slice(L_loc, (lo, s), (block, block))
+            rblk = lax.dynamic_slice(b_loc, (lo,), (block,))
+            Dblk = jnp.where(me == owner, Dblk, 0.0)
+            rblk = jnp.where(me == owner, rblk, 0.0)
+            Dblk = lax.psum(Dblk, axis)
+            rblk = lax.psum(rblk, axis)
+            xblk = lax.linalg.triangular_solve(
+                Dblk, rblk[:, None], left_side=True, lower=True
+            )[:, 0]
+            # write the solved block into x
+            in_blk = ((gri[:, 0] >= s) & (gri[:, 0] < s + block))
+            xfull = jnp.zeros_like(x_loc)
+            xfull = lax.dynamic_update_slice(
+                xfull, xblk, (jnp.where(me == owner, s - owner * rows, 0),)
+            )
+            x_loc = jnp.where(me == owner, jnp.where(in_blk, xfull, x_loc), x_loc)
+            # residual update for rows below the block
+            Lcol = lax.dynamic_slice(L_loc, (0, s), (rows, block))
+            below = gri[:, 0] >= s + block
+            b_loc = jnp.where(
+                below,
+                b_loc - jnp.matmul(Lcol, xblk, precision=HIGH),
+                b_loc,
+            )
+            return b_loc, x_loc
+
+        _, x_loc = lax.fori_loop(
+            0, nsteps, body, (b_loc, jnp.zeros_like(b_loc))
+        )
+        return x_loc
+
+    Lf = jax.device_put(Lf, NamedSharding(mesh, spec))
+    b = jax.device_put(b, NamedSharding(mesh, vspec))
+    return run(Lf, b)
+
+
+def sharded_gp_fit(x, y, logl, logsigma, lognoise, mesh: Mesh,
+                   axis: str = EXPERT_AXIS, block: int = 256, eps: float = 1e-8):
+    """Exact-GP fit of ONE giant leaf whose covariance exceeds a single
+    chip: builds the IsoSE gram row-sharded (each chip computes only its
+    rows), factors it with :func:`sharded_cholesky`, and returns
+    ``(alpha [N], mll)`` via two distributed triangular solves.
+
+    This is the multi-chip replacement for ``update_cholesky!`` + ``mll``
+    (``gaussianprocess.jl:87-108,163``) on experts past one-chip HBM.
+    """
+    N = x.shape[0]
+    spec = P(axis, None)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None, None)),
+        out_specs=spec,
+        check_vma=False,
+    )
+    def gram_rows(x_rows, x_all):
+        n1 = jnp.sum(x_rows * x_rows, axis=-1)
+        n2 = jnp.sum(x_all * x_all, axis=-1)
+        cross = jnp.matmul(x_rows, x_all.T, precision=HIGH)
+        d2 = jnp.maximum(n1[:, None] + n2[None, :] - 2.0 * cross, 0.0)
+        K = jnp.exp(2.0 * logsigma) * jnp.exp(-0.5 * d2 * jnp.exp(-2.0 * logl))
+        me = lax.axis_index(axis)
+        rows = x_rows.shape[0]
+        gri = me * rows + lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        cj = lax.broadcasted_iota(jnp.int32, (1, N), 1)
+        noise = jnp.exp(2.0 * lognoise) + eps
+        return K + noise * (cj == gri)
+
+    xs = jax.device_put(x, NamedSharding(mesh, P(axis, None)))
+    K = gram_rows(xs, x)
+    Lf = sharded_cholesky(K, mesh, axis=axis, block=block)
+    z = sharded_solve_lower(Lf, y, mesh, axis=axis, block=block)
+    # L^T alpha = z  <=>  (P L^T P) (P alpha) = (P z) with P the reversal —
+    # solve the transposed system as a lower solve on the reversed factor.
+    Lrev = jnp.flip(Lf, (0, 1)).T
+    alpha = jnp.flip(
+        sharded_solve_lower(Lrev, jnp.flip(z, 0), mesh, axis=axis, block=block),
+        0,
+    )
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lf)))
+    mll = -0.5 * (
+        jnp.dot(y, alpha, precision=HIGH)
+        + logdet
+        + N * jnp.log(2.0 * jnp.pi)
+    )
+    return alpha, mll

@@ -1,0 +1,75 @@
+"""Distributed blocked Cholesky / solves vs dense oracles on the fake mesh.
+
+The multi-chip "leaf bigger than one chip" path (SURVEY §5): row-sharded
+right-looking Cholesky with panel broadcast over the mesh, distributed
+forward substitution, and the full giant-leaf GP fit, each checked against
+single-matrix float64 oracles.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deepstructuredmixtures_tpu.parallel import make_mesh
+from deepstructuredmixtures_tpu.parallel.dist_chol import (
+    sharded_cholesky,
+    sharded_gp_fit,
+    sharded_solve_lower,
+)
+
+
+def _spd(n, seed=0):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((n, n))
+    return A @ A.T + n * np.eye(n)
+
+
+@pytest.mark.parametrize("block", [64, 128])
+def test_sharded_cholesky_matches_dense(block):
+    mesh = make_mesh(8)
+    N = 1024
+    A = _spd(N)
+    L = np.asarray(sharded_cholesky(jnp.asarray(A), mesh, block=block))
+    Lref = np.linalg.cholesky(A)
+    assert np.abs(L - Lref).max() < 1e-8 * N
+    assert np.abs(np.triu(L, 1)).max() == 0.0
+
+
+def test_sharded_solve_lower_matches_dense():
+    mesh = make_mesh(8)
+    N = 512
+    A = _spd(N, seed=1)
+    Lref = np.linalg.cholesky(A)
+    b = np.random.default_rng(2).standard_normal(N)
+    x = np.asarray(
+        sharded_solve_lower(jnp.asarray(Lref), jnp.asarray(b), mesh, block=64)
+    )
+    xref = np.linalg.solve(Lref, b)
+    assert np.abs(x - xref).max() < 1e-9 * N
+
+
+def test_sharded_gp_fit_matches_exact_gp():
+    import scipy.linalg as sla
+
+    mesh = make_mesh(8)
+    N = 512
+    rng = np.random.default_rng(3)
+    x = np.sort(rng.uniform(0, 1, N)).reshape(-1, 1)
+    y = np.sin(x[:, 0] * 6) + 0.1 * rng.standard_normal(N)
+    logl, logsigma, lognoise = -1.0, 0.0, -1.5
+
+    alpha, mll = sharded_gp_fit(
+        jnp.asarray(x), jnp.asarray(y), logl, logsigma, lognoise, mesh,
+        block=64,
+    )
+
+    d2 = (x[:, None, 0] - x[None, :, 0]) ** 2
+    K = np.exp(2 * logsigma) * np.exp(-0.5 * d2 * np.exp(-2 * logl))
+    K[np.diag_indices_from(K)] += np.exp(2 * lognoise) + 1e-8
+    Lref = np.linalg.cholesky(K)
+    aref = sla.cho_solve((Lref, True), y)
+    mll_ref = -0.5 * (
+        y @ aref + 2 * np.log(np.diag(Lref)).sum() + N * np.log(2 * np.pi)
+    )
+    assert np.abs(np.asarray(alpha) - aref).max() < 1e-6
+    assert abs(float(mll) - mll_ref) < 1e-6 * max(1.0, abs(mll_ref))
