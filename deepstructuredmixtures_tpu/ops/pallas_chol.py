@@ -20,9 +20,16 @@ the grid):
 all without the covariance ever touching HBM — only the [N, D] inputs come
 in and the [N, N] factor goes out. float32, N ≤ ~1024 (VMEM residency).
 
-Validated against ``jnp.linalg.cholesky`` oracles in
-``tests/test_pallas_chol.py``; the bucketed execution paths select it for
-qualifying buckets on TPU (see ``fit.py``).
+Validated against float64 Cholesky oracles in ``tests/test_pallas_chol.py``
+(interpreter on CPU, compiled on TPU via the benchmark harness).
+
+STATUS / honest measurement: on a single v5e core at [L=64, N=512] the
+fused kernel runs ~20ms on-device vs ~10ms for XLA's gram+cholesky — the
+per-grid-program overhead (sequential per-leaf sweeps + many small MXU
+dispatches) currently outweighs the HBM-traffic saving, so the XLA path
+remains the default everywhere and ``supported()`` is the integration
+gate for when a stacked multi-leaf-per-program variant lands. Kept as a
+correct, tested reference kernel for the VMEM-resident expert regime.
 """
 from __future__ import annotations
 
@@ -70,53 +77,95 @@ def _fused_kernel(n_ref, logl_ref, logsigma_ref, noise_ref, x_ref, out_ref,
     out_ref[0] = K
 
     # ---- in-place right-looking blocked Cholesky -------------------------
-    # Mosaic forbids dynamic lane-dimension indexing, so the unblocked panel
-    # sweep extracts/writes columns with masked full-tile ops (multiply +
-    # reduce) instead of dynamic slices; the O(N^2 B) bulk stays on the MXU
-    # in the trailing update.
+    # Two-stage panel factorization (all full-tile ops — Mosaic forbids
+    # dynamic lane-dimension indexing, and tiny slices lower poorly):
+    #   1. a 128-step unblocked sweep factors ONLY the [B, B] diagonal
+    #      block (the sequential critical path, on a minimal tile);
+    #   2. inv(L11) is built in log2(B) block-doubling steps of masked
+    #      [B, B] matmuls (triangular inversion by 2x2 block recursion,
+    #      X_{2m} = X_m - X_m (L ⊙ offdiag_m) X_m — MXU work, no loops);
+    #   3. the [N, B] sub-panel solves against inv(L11) with ONE MXU
+    #      matmul, and the rank-B trailing update is a second matmul.
+    # The per-column sequential work is O(B^2) instead of O(N·B), so the
+    # kernel is MXU-bound rather than sweep-bound for N >> B.
     nb = nmax // BLOCK
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (nmax, 1), 0)  # [N, 1]
-    pcols0 = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)  # [1, B]
+    bi = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)  # [B, B] rows
+    bj = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)  # [B, B] cols
+    bcol = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)  # [1, B]
+    brow = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0)  # [B, 1]
+    HI = jax.lax.Precision.HIGHEST
+
+    def dotT(a, b):  # a @ b^T on the MXU at full f32 precision
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )
 
     for kb in range(nb):
         s = kb * BLOCK
-        pcols = pcols0 + s  # global column ids of this panel
-        # selector (s+m, m) pairs: row s+m of column m
-        panel_rowsel = (row_ids - s) == pcols0  # [N, B]
 
-        def col_step(j, tile):
-            c = s + j
-            colmask = (pcols == c).astype(tile.dtype)  # [1, B]
-            colc = jnp.sum(tile * colmask, axis=1, keepdims=True)  # [N, 1]
-            diag_val = jnp.sum(jnp.where(row_ids == c, colc, 0.0))
+        # -- 1. factor the diagonal block D -> L11 (unblocked sweep) ------
+        D = out_ref[0, s : s + BLOCK, s : s + BLOCK]  # [B, B]
+
+        def col_step(j, T):
+            colmask = (bcol == j).astype(T.dtype)
+            colc = jnp.sum(T * colmask, axis=1, keepdims=True)  # [B, 1]
+            diag_val = jnp.sum(jnp.where(brow == j, colc, 0.0))
             rinv = jax.lax.rsqrt(diag_val)
-            below = row_ids > c
-            scaled = jnp.where(below, colc * rinv, 0.0)  # l_c below diag
-            newcol = scaled + jnp.where(row_ids == c, diag_val * rinv, 0.0)
-            # l_c at panel-row positions as a [1, B] row vector
-            w = jnp.sum(panel_rowsel * scaled, axis=0, keepdims=True)
-            w = jnp.where(pcols > c, w, 0.0)
-            tile = tile - scaled * w  # rank-1 update of remaining columns
-            tile = jnp.where(pcols == c, newcol, tile)  # write column c
-            return tile
+            below = brow > j
+            scaled = jnp.where(below, colc * rinv, 0.0)
+            newcol = scaled + jnp.where(brow == j, diag_val * rinv, 0.0)
+            w = jnp.where(bcol > j, scaled.T, 0.0)  # l_c over later columns
+            T = T - scaled * w  # rank-1 update of the remaining block
+            return jnp.where(bcol == j, newcol, T)
 
-        tile = out_ref[0, :, s : s + BLOCK]  # [N, B]
-        tile = jax.lax.fori_loop(0, BLOCK, col_step, tile)
-        out_ref[0, :, s : s + BLOCK] = tile
+        L11 = jax.lax.fori_loop(0, BLOCK, col_step, D)
+        L11 = jnp.where(bj <= bi, L11, 0.0)
 
-        if kb + 1 < nb:
-            panel = jnp.where(row_ids >= s + BLOCK, tile, 0.0)
-            # HIGHEST precision (3-pass bf16 decomposition) is required: the
-            # trailing update cancels O(||K||) terms down to O(noise), which
-            # a single bf16 MXU pass cannot represent (negative diagonals →
-            # NaN for ill-conditioned SE grams).
-            upd = jax.lax.dot_general(
-                panel, panel,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+        # -- 2. X = inv(L11) by block-doubling (log2(B) masked matmuls) ---
+        d = jnp.sum(jnp.where(bi == bj, L11, 0.0), axis=1, keepdims=True)
+        X = jnp.where(bi == bj, 1.0 / d, 0.0)  # m=1 inverse
+        m = 1
+        while m < BLOCK:
+            # strictly-lower off-diagonal m-blocks within each 2m block
+            off = ((bi // m) % 2 == 1) & ((bj // m) % 2 == 0) & (
+                (bi // (2 * m)) == (bj // (2 * m))
             )
-            out_ref[0] = out_ref[0] - upd
+            Lo = jnp.where(off, L11, 0.0)
+            X = X - dot(dot(X, Lo), X)
+            m *= 2
+
+        # -- 3. panel solve + write (one MXU matmul) -----------------------
+        tile = out_ref[0, :, s : s + BLOCK]  # [N, B]
+        below_panel = row_ids >= s + BLOCK
+        E = jnp.where(below_panel, tile, 0.0)
+        L21 = dotT(E, X)  # E @ inv(L11)^T
+        in_panel = (row_ids >= s) & (row_ids < s + BLOCK)
+        parts = []
+        if s:
+            parts.append(jnp.zeros((s, BLOCK), tile.dtype))
+        parts.append(L11)
+        if nmax - s - BLOCK:
+            parts.append(jnp.zeros((nmax - s - BLOCK, BLOCK), tile.dtype))
+        L11N = jnp.concatenate(parts, axis=0) if len(parts) > 1 else L11
+        panel = jnp.where(in_panel, L11N, L21)
+        out_ref[0, :, s : s + BLOCK] = panel
+
+        # -- 4. rank-B trailing update (MXU) -------------------------------
+        if kb + 1 < nb:
+            # HIGHEST precision: the update cancels O(||K||) down to
+            # O(noise); a single bf16 pass produces negative diagonals.
+            out_ref[0] = out_ref[0] - dotT(
+                jnp.where(below_panel, L21, 0.0),
+                jnp.where(below_panel, L21, 0.0),
+            )
 
     out_ref[0] = jnp.where(cidx <= ridx, out_ref[0], 0.0)
 
