@@ -116,20 +116,66 @@ def normalize_kernels_from_layout(model):
     return tuple(specs)
 
 
+def save_orbax(model, path: str):
+    """Serialize via orbax (async-capable, multi-host-aware checkpointing —
+    the production path for sharded deployments; SURVEY §5). Stores the
+    same payload as :func:`save`: tree spec + kernels as JSON metadata,
+    arrays as an orbax PyTree checkpoint."""
+    import orbax.checkpoint as ocp
+
+    kernels = normalize_kernels_from_layout(model)
+    meta = {
+        "class": type(model).__name__,
+        "tree": _tree_to_spec(model.root),
+        "kernels": [
+            {"kind": k.kind, "logl": list(k.logl), "logsigma": k.logsigma}
+            for k in kernels
+        ],
+        "dtype": jnp.dtype(model.dtype).name,
+    }
+    payload = {
+        "meta": np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8).copy(),
+        "X": np.asarray(model.X),
+        "y": np.asarray(model.y),
+        "theta": np.asarray(model.theta),
+        "logweights": np.asarray(model.logweights),
+    }
+    import os
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), payload)
+
+
+def load_orbax(path: str, dtype=None):
+    """Restore a model saved with :func:`save_orbax`."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        data = ckptr.restore(os.path.abspath(path))
+    meta = json.loads(bytes(np.asarray(data["meta"], dtype=np.uint8)).decode())
+    return _restore(meta, data, dtype)
+
+
 def load(path: str, dtype=None):
     """Restore a model saved with :func:`save`."""
-    from . import models as modelslib
-
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["meta"]))
+    return _restore(meta, data, dtype)
+
+
+def _restore(meta, data, dtype=None):
+    from . import models as modelslib
+
     root = _spec_to_tree(meta["tree"])
     kernels = tuple(
         KernelSpec(k["kind"], tuple(k["logl"]), k["logsigma"])
         for k in meta["kernels"]
     )
     dtype = dtype or jnp.dtype(meta["dtype"])
-    X = data["X"]
-    y = data["y"]
+    X = np.asarray(data["X"])
+    y = np.asarray(data["y"])
 
     plan = compile_tree(root, X)
     schedule = build_schedule(plan)

@@ -90,3 +90,34 @@ def test_kernelid_function():
     kids = kernelid_function(m, XT)
     assert kids.shape == (len(XT),)
     assert set(np.unique(kids)) <= {0, 1}
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """orbax backend stores/restores the identical payload as the npz path
+    (async-capable production checkpointing; SURVEY §5)."""
+    pytest.importorskip("orbax.checkpoint")
+    import numpy as np
+
+    import deepstructuredmixtures_tpu as dsm
+    from deepstructuredmixtures_tpu.checkpoint import load_orbax, save_orbax
+
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(0, 1, 120)).reshape(-1, 1)
+    y = np.sin(x[:, 0] * 5) + 0.1 * rng.standard_normal(120)
+    m = dsm.build_dsmgp(x, y, V=2, K=2, M=15, kernel=dsm.IsoSE(0.1, -0.2),
+                        log_noise=-1.0, seed=3)
+    z = m.update()
+    path = str(tmp_path / "ckpt_orbax")
+    save_orbax(m, path)
+    m2 = load_orbax(path)
+    assert type(m2) is type(m)
+    np.testing.assert_array_equal(np.asarray(m2.theta), np.asarray(m.theta))
+    np.testing.assert_array_equal(
+        np.asarray(m2.logweights), np.asarray(m.logweights)
+    )
+    xt = np.linspace(0, 1, 23).reshape(-1, 1)
+    mu1, v1 = m.predict(xt)
+    mu2, v2 = m2.predict(xt)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-12)
+    assert abs(m2.update() - z) < 1e-12
