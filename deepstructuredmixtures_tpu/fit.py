@@ -175,7 +175,7 @@ def fit_light(layout: HyperLayout, theta, batch: LeafBatch,
     the result is None). Prediction then re-derives factors chunk-wise via
     :func:`streamed_leaf_predict`. This is the required mode when
     ``L * Nmax^2`` exceeds HBM (e.g. the N=100k benchmark)."""
-    from .leafgp import centered_y, leaf_mll
+    from .leafgp import centered_y, leaf_mll_forward
 
     chunk = min(chunk or default_chunk(batch.nmax, batch.x.dtype),
                 batch.num_leaves)
@@ -195,13 +195,16 @@ def fit_light(layout: HyperLayout, theta, batch: LeafBatch,
         Kn = _noisy_gram(layout, th, b)
         Lf = jnp.linalg.cholesky(Kn)
         yc = centered_y(b)
-        alpha = chol.cho_solve_lower(Lf, yc)
-        return alpha, leaf_mll(Lf, yc, alpha, b)
+        # mll needs only the FORWARD solve: y'alpha = ||L^{-1}y||^2. The
+        # transposed solve (alpha itself) is skipped — a single-rhs
+        # triangular solve is latency-bound (~7ms at n≈11k on v5e) and its
+        # result is unused in the light/streamed paths.
+        z = chol.solve_lower(Lf, yc[..., None])[..., 0]
+        return leaf_mll_forward(Lf, z, b)
 
-    alpha, mll = lax.map(body, jnp.arange(nchunks))
-    alpha = alpha.reshape((-1,) + alpha.shape[2:])[:L]
+    mll = lax.map(body, jnp.arange(nchunks))
     mll = mll.reshape(-1)[:L]
-    return LeafPosterior(None, alpha, mll)
+    return LeafPosterior(None, None, mll)
 
 
 def streamed_leaf_predict(
@@ -219,8 +222,19 @@ def streamed_leaf_predict(
     ``xt [T, D]`` shared test points; with ``tidx/tmask [L, tmax]`` each
     leaf predicts only its routed points (DSMGP), otherwise all T (PoE
     family). Returns ``(mu [L, T or tmax], var, mll [L])``.
+
+    One triangular solve per chunk: the targets and the cross-covariance
+    share a single forward solve ``Z = L^{-1} [y | K_nt]``, from which
+    ``y'α = ||z_y||²`` (mll), ``μ = m + V'z_y`` and the predictive variance
+    all follow — no alpha (transposed) solve, no separate y solve.
     """
-    from .leafgp import centered_y, leaf_mll, leaf_predict, LeafPosterior as LP
+    from .leafgp import (
+        centered_y,
+        leaf_gram,
+        leaf_gram_diag,
+        leaf_mll_forward,
+        leaf_noise,
+    )
 
     chunk = min(chunk or default_chunk(batch.nmax, batch.x.dtype),
                 batch.num_leaves)
@@ -252,14 +266,23 @@ def streamed_leaf_predict(
         Kn = _noisy_gram(layout, th, b)
         Lf = jnp.linalg.cholesky(Kn)
         yc = centered_y(b)
-        alpha = chol.cho_solve_lower(Lf, yc)
-        mll = leaf_mll(Lf, yc, alpha, b)
-        post = LP(Lf, alpha, mll)
         if routed:
             xt_leaf = xt[sl(tidx_p)]
         else:
             xt_leaf = xt
-        mu, var = leaf_predict(layout, th, b, post, xt_leaf)
+        Knt = leaf_gram(layout, th, b, xt_leaf)  # [C, Nmax, T]
+        Knt = jnp.where(b.mask[:, :, None], Knt, 0.0)
+        rhs = jnp.concatenate([yc[..., None], Knt], axis=-1)
+        Z = chol.solve_lower(Lf, rhs)
+        z = Z[..., 0]
+        V = Z[..., 1:]
+        mll = leaf_mll_forward(Lf, z, b)
+        mu = b.mean[:, None] + jnp.einsum(
+            "lnt,ln->lt", V, z, precision=jax.lax.Precision.HIGHEST
+        )
+        ktt = leaf_gram_diag(layout, th, b, xt_leaf)
+        noise = leaf_noise(layout, th, b)
+        var = ktt - jnp.sum(V * V, axis=-2) + noise[:, None]
         return mu, var, mll
 
     mu, var, mll = lax.map(body, jnp.arange(nchunks))

@@ -176,6 +176,17 @@ def leaf_mll(Lf, yc, alpha, batch: LeafBatch):
     return -0.5 * (quad + logdet + nn * LOG2PI)
 
 
+def leaf_mll_forward(Lf, z, batch: LeafBatch):
+    """mll from the forward solve only: ``y'α = ||L^{-1} y||^2``, so the
+    transposed (alpha) solve is unnecessary when only the likelihood is
+    consumed — saves one latency-bound single-rhs triangular solve per
+    leaf on the streamed/light paths."""
+    quad = jnp.sum(z * z, axis=-1)
+    logdet = chol.masked_logdet(Lf, batch.mask)
+    nn = batch.n.astype(Lf.dtype)
+    return -0.5 * (quad + logdet + nn * LOG2PI)
+
+
 def leaf_predict(layout, theta, batch: LeafBatch, post: LeafPosterior, xt):
     """Batched predictive mean/variance of every leaf at shared test points.
 
