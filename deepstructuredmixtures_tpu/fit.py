@@ -58,7 +58,7 @@ def fit_batched(layout: HyperLayout, theta, batch: LeafBatch,
     """
     if chunk is None or chunk >= batch.num_leaves:
         Kn = _noisy_gram(layout, theta, batch)
-        Lf = jnp.linalg.cholesky(Kn)
+        Lf = chol.cholesky_nosym(Kn)
         return posterior_from_chol(Lf, batch)
 
     L = batch.num_leaves
@@ -75,7 +75,7 @@ def fit_batched(layout: HyperLayout, theta, batch: LeafBatch,
         b = LeafBatch(*[sl(a) for a in bpad])
         th = theta if theta.ndim == 1 else sl(theta)
         Kn = _noisy_gram(layout, th, b)
-        Lf = jnp.linalg.cholesky(Kn)
+        Lf = chol.cholesky_nosym(Kn)
         return posterior_from_chol(Lf, b)
 
     out = lax.map(body, jnp.arange(nchunks))
@@ -102,7 +102,7 @@ def fit_shared(
     # Phase 1: full factorizations (mains + unshareable leaves).
     fidx = jnp.asarray(schedule.full_idx)
     if schedule.full_idx.size:
-        Lf = Lf.at[fidx].set(jnp.linalg.cholesky(Kn[fidx]))
+        Lf = Lf.at[fidx].set(chol.cholesky_nosym(Kn[fidx]))
 
     # Phase 2a: Givens row-deletion for strict-subset leaves.
     if schedule.del_j.size:
@@ -116,7 +116,7 @@ def fit_shared(
         derived = chol.pad_identity(jnp.tril(gathered), jmask)
         if safe:
             ok = chol.factor_is_valid(derived, jmask)
-            fresh = jnp.linalg.cholesky(Kn[jnp.asarray(schedule.del_j)])
+            fresh = chol.cholesky_nosym(Kn[jnp.asarray(schedule.del_j)])
             derived = jnp.where(ok[:, None, None], derived, fresh)
         Lf = Lf.at[jnp.asarray(schedule.del_j)].set(derived)
 
@@ -130,7 +130,7 @@ def fit_shared(
         derived = chol.pad_identity(derived, jmask)
         if safe:
             ok = chol.factor_is_valid(derived, jmask)
-            fresh = jnp.linalg.cholesky(A)
+            fresh = chol.cholesky_nosym(A)
             derived = jnp.where(ok[:, None, None], derived, fresh)
         Lf = Lf.at[jnp.asarray(schedule.cont_j)].set(derived)
 
@@ -193,7 +193,7 @@ def fit_light(layout: HyperLayout, theta, batch: LeafBatch,
         b = LeafBatch(*[sl(a) for a in bpad])
         th = theta if theta.ndim == 1 else sl(theta)
         Kn = _noisy_gram(layout, th, b)
-        Lf = jnp.linalg.cholesky(Kn)
+        Lf = chol.cholesky_nosym(Kn)
         yc = centered_y(b)
         # mll needs only the FORWARD solve: y'alpha = ||L^{-1}y||^2. The
         # transposed solve (alpha itself) is skipped — a single-rhs
@@ -264,7 +264,7 @@ def streamed_leaf_predict(
         b = LeafBatch(*[sl(a) for a in bpad])
         th = theta if theta.ndim == 1 else sl(theta)
         Kn = _noisy_gram(layout, th, b)
-        Lf = jnp.linalg.cholesky(Kn)
+        Lf = chol.cholesky_nosym(Kn)
         yc = centered_y(b)
         if routed:
             xt_leaf = xt[sl(tidx_p)]

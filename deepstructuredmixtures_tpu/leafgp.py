@@ -154,7 +154,7 @@ def factorize(layout, theta, batch: LeafBatch) -> LeafPosterior:
     K = leaf_gram(layout, theta, batch)
     noise = leaf_noise(layout, theta, batch)
     Kn = chol.masked_gram_noise(K, batch.mask, noise, EPS)
-    Lf = jnp.linalg.cholesky(Kn)
+    Lf = chol.cholesky_nosym(Kn)
     return posterior_from_chol(Lf, batch)
 
 
