@@ -81,5 +81,38 @@ model.fit(); b = np.asarray(model.leaf_mlls())
 assert np.array_equal(a, b)
 ok.append("refit idempotent")
 
+# --- Pallas fused gram+Cholesky, COMPILED on the TPU (the test suite only
+# exercises the interpreter; this is the Mosaic-lowering gate) -------------
+import jax
+
+if jax.devices()[0].platform != "cpu":
+    import jax.numpy as jnp
+
+    from deepstructuredmixtures_tpu.kernels import gram as _gram
+    from deepstructuredmixtures_tpu.ops.pallas_chol import fused_gram_cholesky
+
+    Lk, Nk = 8, 384
+    prng = np.random.default_rng(11)
+    xk = np.zeros((Lk, Nk, 1), np.float32)
+    nk = prng.integers(int(0.6 * Nk), Nk + 1, Lk).astype(np.int32)
+    for l in range(Lk):
+        xk[l, : nk[l], 0] = np.sort(prng.uniform(0, 1, nk[l]))
+    out = np.asarray(fused_gram_cholesky(
+        jnp.asarray(xk), jnp.asarray(nk),
+        jnp.full((Lk,), -0.5, jnp.float32), jnp.full((Lk,), 0.2, jnp.float32),
+        jnp.full((Lk,), 0.05, jnp.float32),
+    ))
+    assert not np.isnan(out).any()
+    worst = 0.0
+    for l in range(Lk):
+        K = np.asarray(_gram("iso_se", jnp.asarray([-0.5]), jnp.asarray(0.2),
+                             jnp.asarray(xk[l, : nk[l]]),
+                             jnp.asarray(xk[l, : nk[l]])), dtype=np.float64)
+        K = K + (0.05 + 1e-8) * np.eye(nk[l])
+        worst = max(worst, np.abs(
+            out[l, : nk[l], : nk[l]] - np.linalg.cholesky(K)).max())
+    assert worst < 5e-4, f"compiled pallas kernel err {worst}"
+    ok.append(f"pallas kernel compiled-on-TPU oracle err {worst:.2e}")
+
 print("\n".join("OK " + s for s in ok))
 print(f"ALL {len(ok)} FLOWS PASS")

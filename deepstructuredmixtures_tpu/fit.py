@@ -170,11 +170,12 @@ def default_chunk(nmax: int, dtype, budget_bytes: int = 2 << 30) -> int:
 
 def fit_light(layout: HyperLayout, theta, batch: LeafBatch,
               chunk: Optional[int] = None) -> LeafPosterior:
-    """Memory-bounded fit: computes alpha weights and leaf mlls in leaf
-    chunks WITHOUT materializing the [L, Nmax, Nmax] factors (``chol`` of
-    the result is None). Prediction then re-derives factors chunk-wise via
-    :func:`streamed_leaf_predict`. This is the required mode when
-    ``L * Nmax^2`` exceeds HBM (e.g. the N=100k benchmark)."""
+    """Memory-bounded fit: computes leaf mlls in leaf chunks WITHOUT
+    materializing the [L, Nmax, Nmax] factors or the alpha weights (both
+    ``chol`` and ``alpha`` of the result are None — the forward solve
+    alone yields the likelihood, and prediction re-derives everything
+    chunk-wise via :func:`streamed_leaf_predict`). This is the required
+    mode when ``L * Nmax^2`` exceeds HBM (e.g. the N=100k benchmark)."""
     from .leafgp import centered_y, leaf_mll_forward
 
     chunk = min(chunk or default_chunk(batch.nmax, batch.x.dtype),

@@ -140,7 +140,9 @@ class LeafPosterior(NamedTuple):
     ``chol [L, Nmax, Nmax]`` lower factors (identity on padding), ``alpha
     [L, Nmax]`` weights, ``mll [L]`` marginal log-likelihoods — the batched
     equivalent of the reference's cached ``gp.cK`` / ``gp.α``
-    (``gaussianprocess.jl:33-35``).
+    (``gaussianprocess.jl:33-35``). Memory-bounded fits
+    (:func:`fit.fit_light`) return ``chol=None`` and ``alpha=None``: only
+    the mlls are kept and prediction recomputes factors chunk-wise.
     """
 
     chol: jnp.ndarray

@@ -117,7 +117,7 @@ class BaseModel:
         reference ``fit!`` (``fit.jl:88,121``).
 
         ``store``: ``'full'`` caches the [L, Nmax, Nmax] factors for
-        repeated prediction; ``'light'`` keeps only alpha weights + mlls
+        repeated prediction; ``'light'`` keeps only the leaf mlls
         (prediction then streams factor recomputation chunk-wise);
         ``'auto'`` picks by memory footprint.
         """

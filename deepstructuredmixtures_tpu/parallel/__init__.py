@@ -9,6 +9,7 @@ from .mesh import (
 from .dist_chol import (
     sharded_cholesky,
     sharded_solve_lower,
+    sharded_solve_lower_t,
     sharded_gp_fit,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "sharded_fit",
     "sharded_cholesky",
     "sharded_solve_lower",
+    "sharded_solve_lower_t",
     "sharded_gp_fit",
 ]

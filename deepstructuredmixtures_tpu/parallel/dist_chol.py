@@ -42,6 +42,23 @@ from .mesh import EXPERT_AXIS
 HIGH = jax.lax.Precision.HIGHEST
 
 
+def _check_blocking(N: int, ndev: int, block: int):
+    """Validate the (mesh, block) layout shared by every distributed op:
+    rows per device and blocks must tile exactly, and each panel must lie
+    within one shard. Raises instead of silently truncating the iteration
+    (``N // block``) or letting ``dynamic_slice`` clamp out-of-range
+    offsets into wrong rows."""
+    if N % ndev != 0:
+        raise ValueError(f"N={N} not divisible by mesh size {ndev}")
+    rows = N // ndev
+    if rows % block != 0:
+        raise ValueError(
+            f"per-device rows {rows} not divisible by block {block}; "
+            f"use a block <= {rows} that divides it"
+        )
+    return rows, block
+
+
 def _local_cholesky_step(A_loc, Ldone_loc, k, *, block, rows, axis):
     """One panel step of the right-looking factorization.
 
@@ -112,14 +129,7 @@ def sharded_cholesky(A, mesh: Mesh, axis: str = EXPERT_AXIS, block: int = 256):
     """
     N = A.shape[0]
     ndev = mesh.shape[axis]
-    if N % ndev != 0:
-        raise ValueError(f"N={N} not divisible by mesh size {ndev}")
-    rows = N // ndev
-    if rows % block != 0:
-        raise ValueError(
-            f"per-device rows {rows} not divisible by block {block}; "
-            f"use block <= {rows} dividing it"
-        )
+    rows, block = _check_blocking(N, ndev, block)
     nsteps = N // block
 
     spec = P(axis, None)
@@ -162,7 +172,7 @@ def sharded_solve_lower(Lf, b, mesh: Mesh, axis: str = EXPERT_AXIS,
     """
     N = Lf.shape[0]
     ndev = mesh.shape[axis]
-    rows = N // ndev
+    rows, block = _check_blocking(N, ndev, block)
     nsteps = N // block
     spec = P(axis, None)
     vspec = P(axis)
@@ -219,6 +229,67 @@ def sharded_solve_lower(Lf, b, mesh: Mesh, axis: str = EXPERT_AXIS,
     return run(Lf, b)
 
 
+def sharded_solve_lower_t(Lf, z, mesh: Mesh, axis: str = EXPERT_AXIS,
+                          block: int = 256):
+    """Backward substitution ``L^T x = z`` on the row-sharded lower ``Lf``
+    — the second half of the alpha solve, iterating blocks last-to-first
+    directly on ``Lf`` (no flipped/transposed N x N copy; the cross-shard
+    reduction ``sum_j L_jk^T x_j`` is one psum of a [B] vector per step).
+    """
+    N = Lf.shape[0]
+    ndev = mesh.shape[axis]
+    rows, block = _check_blocking(N, ndev, block)
+    nsteps = N // block
+    spec = P(axis, None)
+    vspec = P(axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec, vspec),
+        out_specs=vspec,
+        check_vma=False,
+    )
+    def run(L_loc, z_loc):
+        me = lax.axis_index(axis)
+        gri = me * rows + lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+
+        def body(t, x_loc):
+            k = nsteps - 1 - t
+            s = k * block
+            owner = s // rows
+            lo = jnp.where(me == owner, s - owner * rows, 0)
+            # cross-shard reduction: sum_j>s+B  L[j, s:s+B]^T x[j]
+            Lcol = lax.dynamic_slice(L_loc, (0, s), (rows, block))
+            xa = jnp.where(gri[:, 0] >= s + block, x_loc, 0.0)
+            partial_ = jnp.matmul(Lcol.T, xa, precision=HIGH)  # [B]
+            tot = lax.psum(partial_, axis)
+            # owner solves its transposed diagonal block
+            Dblk = lax.dynamic_slice(L_loc, (lo, s), (block, block))
+            zblk = lax.dynamic_slice(z_loc, (lo,), (block,))
+            Dblk = jnp.where(me == owner, Dblk, 0.0)
+            zblk = jnp.where(me == owner, zblk, 0.0)
+            Dblk = lax.psum(Dblk, axis)
+            zblk = lax.psum(zblk, axis) - tot
+            xblk = lax.linalg.triangular_solve(
+                Dblk, zblk[:, None], left_side=True, lower=True,
+                transpose_a=True,
+            )[:, 0]
+            in_blk = (gri[:, 0] >= s) & (gri[:, 0] < s + block)
+            xfull = jnp.zeros_like(x_loc)
+            xfull = lax.dynamic_update_slice(
+                xfull, xblk, (jnp.where(me == owner, s - owner * rows, 0),)
+            )
+            return jnp.where(me == owner, jnp.where(in_blk, xfull, x_loc),
+                             x_loc)
+
+        return lax.fori_loop(0, nsteps, body, jnp.zeros_like(z_loc))
+
+    Lf = jax.device_put(Lf, NamedSharding(mesh, spec))
+    z = jax.device_put(z, NamedSharding(mesh, vspec))
+    return run(Lf, z)
+
+
 def sharded_gp_fit(x, y, logl, logsigma, lognoise, mesh: Mesh,
                    axis: str = EXPERT_AXIS, block: int = 256, eps: float = 1e-8):
     """Exact-GP fit of ONE giant leaf whose covariance exceeds a single
@@ -240,11 +311,13 @@ def sharded_gp_fit(x, y, logl, logsigma, lognoise, mesh: Mesh,
         check_vma=False,
     )
     def gram_rows(x_rows, x_all):
-        n1 = jnp.sum(x_rows * x_rows, axis=-1)
-        n2 = jnp.sum(x_all * x_all, axis=-1)
-        cross = jnp.matmul(x_rows, x_all.T, precision=HIGH)
-        d2 = jnp.maximum(n1[:, None] + n2[None, :] - 2.0 * cross, 0.0)
-        K = jnp.exp(2.0 * logsigma) * jnp.exp(-0.5 * d2 * jnp.exp(-2.0 * logl))
+        # shard-local block of the IsoSE gram — same kernel function as the
+        # single-chip path (kernels.gram), so precision/jitter fixes there
+        # automatically reach the distributed path.
+        from ..kernels import gram
+
+        K = gram("iso_se", jnp.asarray([logl]), jnp.asarray(logsigma),
+                 x_rows, x_all)
         me = lax.axis_index(axis)
         rows = x_rows.shape[0]
         gri = me * rows + lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
@@ -256,13 +329,7 @@ def sharded_gp_fit(x, y, logl, logsigma, lognoise, mesh: Mesh,
     K = gram_rows(xs, x)
     Lf = sharded_cholesky(K, mesh, axis=axis, block=block)
     z = sharded_solve_lower(Lf, y, mesh, axis=axis, block=block)
-    # L^T alpha = z  <=>  (P L^T P) (P alpha) = (P z) with P the reversal —
-    # solve the transposed system as a lower solve on the reversed factor.
-    Lrev = jnp.flip(Lf, (0, 1)).T
-    alpha = jnp.flip(
-        sharded_solve_lower(Lrev, jnp.flip(z, 0), mesh, axis=axis, block=block),
-        0,
-    )
+    alpha = sharded_solve_lower_t(Lf, z, mesh, axis=axis, block=block)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lf)))
     mll = -0.5 * (
         jnp.dot(y, alpha, precision=HIGH)

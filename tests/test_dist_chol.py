@@ -48,6 +48,41 @@ def test_sharded_solve_lower_matches_dense():
     assert np.abs(x - xref).max() < 1e-9 * N
 
 
+def test_sharded_solve_lower_t_matches_dense():
+    from deepstructuredmixtures_tpu.parallel import sharded_solve_lower_t
+
+    mesh = make_mesh(8)
+    N = 512
+    A = _spd(N, seed=4)
+    Lref = np.linalg.cholesky(A)
+    z = np.random.default_rng(5).standard_normal(N)
+    x = np.asarray(
+        sharded_solve_lower_t(jnp.asarray(Lref), jnp.asarray(z), mesh, block=64)
+    )
+    xref = np.linalg.solve(Lref.T, z)
+    assert np.abs(x - xref).max() < 1e-9 * N
+
+
+def test_invalid_block_raises():
+    from deepstructuredmixtures_tpu.parallel import sharded_solve_lower_t
+
+    mesh = make_mesh(8)
+    N = 1024  # rows per device = 128
+    A = _spd(100, seed=6)  # 100 not divisible by 8 devices
+    L = np.linalg.cholesky(_spd(N, seed=6))
+    b = np.zeros(N)
+    for fn in (sharded_cholesky,):
+        with pytest.raises(ValueError):
+            fn(jnp.asarray(L @ L.T), mesh, block=96)
+    with pytest.raises(ValueError):
+        sharded_solve_lower(jnp.asarray(L), jnp.asarray(b), mesh, block=96)
+    with pytest.raises(ValueError):
+        sharded_solve_lower_t(jnp.asarray(L), jnp.asarray(b), mesh, block=96)
+    with pytest.raises(ValueError):
+        # N not divisible by mesh size
+        sharded_cholesky(jnp.asarray(A), mesh, block=32)
+
+
 def test_sharded_gp_fit_matches_exact_gp():
     import scipy.linalg as sla
 

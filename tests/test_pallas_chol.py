@@ -6,9 +6,11 @@ leaf batches, run the fused kernel, and compare against a from-scratch
 float64 Cholesky of the explicitly constructed covariance.
 
 The CPU test suite exercises the kernel through the Pallas *interpreter*
-(bit-for-bit the same kernel program the TPU compiles); the same
-``fused_gram_cholesky`` entry point is validated compiled-on-TPU by the
-benchmark harness and the /verify drive.
+(the same kernel program Mosaic compiles on TPU, executed without the
+TPU lowering). The compiled-on-TPU path is NOT covered here — the test
+suite pins JAX_PLATFORMS=cpu — and is driven by ``_verify_drive.py``
+(repo root), which runs the compiled kernel against the same float64
+oracle on the real chip.
 """
 import numpy as np
 import jax
