@@ -120,6 +120,55 @@ def make_mll_fn_bucketed(layout, plan: SPNPlan, batches, leaf_ids,
     return f
 
 
+def make_value_and_grad_bucketed(layout, plan: SPNPlan, batches, leaf_ids,
+                                 budget: int = 2 << 30):
+    """Exact ``theta -> (root mll, grad)`` with ONE compiled program per
+    size bucket instead of a monolith.
+
+    Differentiating the all-buckets objective as a single jit makes the
+    XLA compile footprint grow with the bucket count (observed compiler
+    OOM at N=100k / 13 buckets). The chain rule factors exactly through
+    the SPN: ``d root/dθ = Σ_l r_l · d mll_l/dθ`` with the leaf
+    responsibilities ``r = ∂root/∂mll`` (``infer.leaf_responsibilities`` —
+    precisely the weights the reference's hand propagation uses,
+    ``optimize.jl:42-89``). So: (1) forward leaf mlls per bucket,
+    (2) responsibilities from the tiny SPN pass, (3) per-bucket VJP of
+    ``r_b · mll_b(θ)`` — each its own small program.
+    """
+    from .fit import _bucket_chunk
+
+    L = plan.num_leaves
+    fwd_fns, vg_fns, idx = [], [], []
+    for b, ids in zip(batches, leaf_ids):
+        chunk = _bucket_chunk(b.nmax, b.num_leaves, b.x.dtype, budget)
+        f = leaf_mlls_fn(layout, b,
+                         chunk if chunk < b.num_leaves else None)
+        fwd_fns.append(jax.jit(f))
+        vg_fns.append(
+            jax.jit(
+                jax.grad(lambda theta, r_b, f=f: jnp.vdot(r_b, f(theta)))
+            )
+        )
+        idx.append(jnp.asarray(ids))
+
+    root_fn = jax.jit(lambda mll: inferlib.root_mll(plan, mll))
+    resp_fn = jax.jit(lambda mll: inferlib.leaf_responsibilities(plan, mll))
+
+    def vg(theta):
+        mll = jnp.zeros((L,), theta.dtype)
+        for f, ids in zip(fwd_fns, idx):
+            mll = mll.at[ids].set(f(theta))
+        value = root_fn(mll)
+        r = resp_fn(mll)
+        grad = None
+        for g, ids in zip(vg_fns, idx):
+            gb = g(theta, r[ids])
+            grad = gb if grad is None else grad + gb
+        return value, grad
+
+    return vg
+
+
 # ---------------------------------------------------------------------------
 # train! — tied hyperparameters
 # ---------------------------------------------------------------------------
@@ -149,21 +198,36 @@ def train(
         else model.theta
     )
 
-    if chunk is None and getattr(model, "bucket_batches", None) is not None:
-        mll_fn = make_mll_fn_bucketed(
+    bucketed = chunk is None and getattr(model, "bucket_batches", None) is not None
+    # Large buckets: differentiate per bucket (separate compiled programs,
+    # exact via the SPN chain rule) — a monolithic grad over many big
+    # Cholesky programs exhausts the XLA compiler (see
+    # make_value_and_grad_bucketed).
+    per_bucket = bucketed and max(
+        b.nmax for b in model.bucket_batches
+    ) >= 4096
+    if per_bucket:
+        vg = make_value_and_grad_bucketed(
             layout, plan, model.bucket_batches, model.bucket_spec.leaf_ids
         )
+    elif bucketed:
+        vg = jax.jit(jax.value_and_grad(make_mll_fn_bucketed(
+            layout, plan, model.bucket_batches, model.bucket_spec.leaf_ids
+        )))
     else:
-        mll_fn = make_mll_fn(layout, plan, batch, chunk)
-    vg = jax.value_and_grad(mll_fn)
+        vg = jax.jit(jax.value_and_grad(make_mll_fn(layout, plan, batch, chunk)))
 
     @jax.jit
-    def step(theta, opt_state):
-        val, g = vg(theta)
+    def apply(g, opt_state, theta):
         # ascent: feed the negative gradient to the (descent-convention)
         # optax transform (≙ apply! + hyp += grad, optimisers.jl:78-79)
         updates, opt_state = optimizer.update(-g, opt_state, theta)
-        return val, optax.apply_updates(theta, updates), opt_state
+        return optax.apply_updates(theta, updates), opt_state
+
+    def step(theta, opt_state):
+        val, g = vg(theta)
+        new_theta, opt_state = apply(g, opt_state, theta)
+        return val, new_theta, opt_state
 
     opt_state = optimizer.init(theta)
     hist = np.zeros(iterations)
