@@ -291,10 +291,11 @@ class BucketSpec:
     leaf_ids: Tuple[np.ndarray, ...]  # global leaf index per bucket
 
 
-def bucketize(plan: SPNPlan, base: int = 128, growth: float = 1.2) -> BucketSpec:
-    """Default growth 1.2 ≈ 1.33x padded/true Cholesky FLOPs on skewed
-    trees (vs 1.72x at growth 1.5, measured at N=100k) while keeping the
-    bucket count — and hence per-bucket compile cost — modest (~13)."""
+def bucketize(plan: SPNPlan, base: int = 128, growth: float = 1.1) -> BucketSpec:
+    """Default growth 1.1 ≈ 1.18x padded/true Cholesky FLOPs on skewed
+    trees (vs 1.72x at growth 1.5, measured at N=100k: 1.86s -> 1.68s on
+    the headline benchmark) at ~23 buckets — still a one-off compile cost
+    of a few minutes for the largest models."""
     sizes = np.array([o.size for o in plan.leaf_obs])
     grid = [base]
     while grid[-1] < sizes.max():
