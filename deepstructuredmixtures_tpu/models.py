@@ -226,12 +226,22 @@ class BaseModel:
     def _route(self, xt_np, pad_multiple: int = 8):
         """Host-side routing of test points to their active leaves
         (≙ getchild recursion): returns padded ``(tidx, tmask) [L, tmax]``.
-        Uses the native box-routing kernel when available."""
+        Uses the native box-routing kernel when available.
+
+        ``tmax`` (the per-leaf routed-point pad) is rounded up to a power
+        of two: it depends on the test-point VALUES, so without rounding
+        every new query shape would recompile the routed-predict program —
+        a serving-latency hazard. Power-of-two classes bound the number of
+        distinct compiled variants to log(T)."""
         from .utils.native import pack_routes, route_box
 
         member = route_box(xt_np, self.plan.leaf_lb, self.plan.leaf_ub)  # [T, L]
         tcnt = member.sum(axis=0)
-        tmax = max(_round_up(int(tcnt.max()), pad_multiple), pad_multiple)
+        t = max(int(tcnt.max()), pad_multiple)
+        if t <= 256:  # serving-size requests: few compile classes
+            tmax = 1 << (t - 1).bit_length()
+        else:  # bulk prediction: padding waste beats recompile risk
+            tmax = _round_up(t, 64)
         return pack_routes(member, tmax)
 
 

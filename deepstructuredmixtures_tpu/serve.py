@@ -1,0 +1,173 @@
+"""Serving: low-latency prediction endpoint over a checkpointed model.
+
+The reference stops at a library API (SURVEY §1: "no CLI, no serving
+layer"); production deployment needs stable-latency prediction without
+recompiles. This module provides:
+
+* :class:`Predictor` — wraps a fitted model; pads incoming test batches to
+  a small set of size classes (powers of two) so every request shape hits
+  an already-compiled program, and warms those programs up front.
+* an HTTP JSON endpoint (stdlib ``http.server``; zero extra deps):
+  ``python -m deepstructuredmixtures_tpu.serve --checkpoint m.npz --port 8000``
+  then ``POST /predict {"x": [[...], ...]}`` → ``{"mean": [...], "var": [...]}``,
+  plus ``GET /healthz`` and ``GET /info`` (model class, leaves, hypers).
+
+Single-process, single-device by design — one Predictor per accelerator;
+scale horizontally behind any load balancer. Batches stream through the
+same jitted programs the benchmark uses.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+
+import numpy as np
+
+from .config import as_2d
+
+
+def _pow2_pad(t: int, floor: int = 16) -> int:
+    n = floor
+    while n < t:
+        n *= 2
+    return n
+
+
+class Predictor:
+    """Compile-once, serve-many wrapper around ``model.predict``.
+
+    ``warm_sizes``: test-batch size classes (rows) to pre-compile; incoming
+    requests are padded up to the nearest class (and the padding stripped
+    from the response), so request latency never includes XLA compilation.
+    """
+
+    def __init__(self, model, warm_sizes=(16, 32, 64, 128, 256),
+                 warm: bool = True):
+        self.model = model
+        self.dim = int(model.plan.dim)
+        self._lock = threading.Lock()  # jax dispatch is not thread-safe here
+        if warm:
+            model._ensure_posterior()
+            # Warm with points SPREAD over the training box: the routed
+            # pad (tmax) depends on where the points land, and uniformly
+            # spread batches produce the routing density of typical
+            # requests. Degenerate batches (everything in one region)
+            # compile their own pow-2 tmax variant on first encounter.
+            lb = np.asarray(model.X).min(axis=0)
+            ub = np.asarray(model.X).max(axis=0)
+            rng = np.random.default_rng(0)
+            for t in warm_sizes:
+                self._predict_padded(rng.uniform(lb, ub, (t, self.dim)))
+
+    def _predict_padded(self, x):
+        T = x.shape[0]
+        Tp = _pow2_pad(T)
+        if Tp != T:
+            # pad with points SPREAD over the training box (not repeats of
+            # one row): the routed-predict pad tmax tracks the densest
+            # leaf, and a clump of identical padding points would inflate
+            # it past the warmed variants, forcing a recompile.
+            lb = np.asarray(self.model.X).min(axis=0)
+            ub = np.asarray(self.model.X).max(axis=0)
+            frac = (np.arange(Tp - T) + 0.5) / (Tp - T)
+            fill = lb + frac[:, None] * (ub - lb)
+            x = np.concatenate([x, fill], axis=0)
+        mean, var = self.model.predict(x)
+        return np.asarray(mean)[:T], np.asarray(var)[:T]
+
+    def predict(self, x):
+        """``x [T, D]`` (or [T] for 1-D models) → ``(mean [T], var [T])``."""
+        x = as_2d(np.asarray(x, dtype=np.float64))
+        if x.shape[1] != self.dim:
+            raise ValueError(
+                f"expected {self.dim}-dimensional inputs, got {x.shape[1]}"
+            )
+        if not np.all(np.isfinite(x)):
+            raise ValueError("non-finite prediction inputs")
+        with self._lock:
+            t0 = time.perf_counter()
+            mean, var = self._predict_padded(x)
+            dt = time.perf_counter() - t0
+        return mean, var, dt
+
+    def info(self) -> dict:
+        m = self.model
+        return {
+            "class": type(m).__name__,
+            "num_leaves": int(m.num_leaves),
+            "dim": self.dim,
+            "dtype": str(np.dtype(m.dtype)),
+            "theta": np.asarray(m.theta).tolist(),
+            "num_mixtures": int(m.num_mixtures()),
+        }
+
+
+def make_handler(predictor: Predictor):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"ok": True})
+            elif self.path == "/info":
+                self._send(200, predictor.info())
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                mean, var, dt = predictor.predict(np.asarray(req["x"]))
+                self._send(200, {
+                    "mean": mean.tolist(),
+                    "var": var.tolist(),
+                    "latency_s": dt,
+                })
+            except (KeyError, ValueError, TypeError) as e:
+                self._send(400, {"error": str(e)})
+
+    return Handler
+
+
+def serve(predictor: Predictor, host: str = "127.0.0.1", port: int = 8000):
+    from http.server import ThreadingHTTPServer
+
+    server = ThreadingHTTPServer((host, port), make_handler(predictor))
+    return server
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    args = ap.parse_args(argv)
+
+    from . import checkpoint
+
+    model = checkpoint.load(args.checkpoint)
+    pred = Predictor(model)
+    server = serve(pred, args.host, args.port)
+    print(f"serving {type(model).__name__} on http://{args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

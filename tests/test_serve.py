@@ -1,0 +1,81 @@
+"""Serving layer: padded-shape predictor + HTTP endpoint round trip."""
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+
+import deepstructuredmixtures_tpu as dsm
+from deepstructuredmixtures_tpu.serve import Predictor, serve
+
+
+def _model():
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(0, 1, 150)).reshape(-1, 1)
+    y = np.sin(x[:, 0] * 5) + 0.1 * rng.standard_normal(150)
+    return dsm.build_dsmgp(x, y, V=2, K=2, M=20, kernel=dsm.IsoSE(0.0, 0.0),
+                           log_noise=-1.0, seed=1)
+
+
+def test_predictor_padding_matches_direct():
+    m = _model()
+    p = Predictor(m, warm_sizes=(16,), warm=True)
+    xt = np.linspace(0, 1, 23).reshape(-1, 1)  # pads 23 -> 32
+    mean_p, var_p, dt = p.predict(xt)
+    mean_d, var_d = m.predict(xt)
+    np.testing.assert_allclose(mean_p, np.asarray(mean_d), atol=1e-10)
+    np.testing.assert_allclose(var_p, np.asarray(var_d), atol=1e-10)
+    assert dt > 0
+    # bad inputs rejected
+    for bad in (np.full((3, 1), np.nan), np.zeros((3, 2))):
+        try:
+            p.predict(bad)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+
+
+def test_http_endpoint_roundtrip():
+    m = _model()
+    p = Predictor(m, warm_sizes=(16,), warm=True)
+    server = serve(p, port=0)  # ephemeral port
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=10
+        ) as r:
+            assert json.loads(r.read())["ok"]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/info", timeout=10
+        ) as r:
+            info = json.loads(r.read())
+            assert info["class"] == "DSMGP" and info["dim"] == 1
+
+        xt = np.linspace(0, 1, 9).reshape(-1, 1)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=json.dumps({"x": xt.tolist()}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = json.loads(r.read())
+        mean_d, var_d = m.predict(xt)
+        np.testing.assert_allclose(out["mean"], np.asarray(mean_d), atol=1e-8)
+        np.testing.assert_allclose(out["var"], np.asarray(var_d), atol=1e-8)
+
+        # malformed request -> 400
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=json.dumps({"x": [[1, 2, 3]]}).encode(),
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=10)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+
