@@ -13,12 +13,11 @@ Format: a single ``.npz`` archive (portable, dependency-free). ``save`` /
 from __future__ import annotations
 
 import json
-from typing import Optional
+import os
 
 import jax.numpy as jnp
 import numpy as np
 
-from .config import DSMGPConfig
 from .hyper import make_layout
 from .kernels import KernelSpec, normalize_kernels
 from .plan import build_schedule, compile_tree
@@ -77,23 +76,24 @@ def _spec_to_tree(spec):
     )
 
 
-def save(model, path: str):
-    """Serialize a model (tree spec, data, hypers, weights) to ``path``."""
+def _meta(model) -> dict:
     kernels = normalize_kernels_from_layout(model)
-    meta = {
+    return {
         "class": type(model).__name__,
         "tree": _tree_to_spec(model.root),
         "kernels": [
             {"kind": k.kind, "logl": list(k.logl), "logsigma": k.logsigma}
             for k in kernels
         ],
-        "dtype": np.dtype(model.dtype).name
-        if not isinstance(model.dtype, type)
-        else jnp.dtype(model.dtype).name,
+        "dtype": jnp.dtype(model.dtype).name,
     }
+
+
+def save(model, path: str):
+    """Serialize a model (tree spec, data, hypers, weights) to ``path``."""
     np.savez_compressed(
         path,
-        meta=json.dumps(meta),
+        meta=json.dumps(_meta(model)),
         X=np.asarray(model.X),
         y=np.asarray(model.y),
         theta=np.asarray(model.theta),
@@ -123,33 +123,21 @@ def save_orbax(model, path: str):
     arrays as an orbax PyTree checkpoint."""
     import orbax.checkpoint as ocp
 
-    kernels = normalize_kernels_from_layout(model)
-    meta = {
-        "class": type(model).__name__,
-        "tree": _tree_to_spec(model.root),
-        "kernels": [
-            {"kind": k.kind, "logl": list(k.logl), "logsigma": k.logsigma}
-            for k in kernels
-        ],
-        "dtype": jnp.dtype(model.dtype).name,
-    }
     payload = {
-        "meta": np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8).copy(),
+        "meta": np.frombuffer(
+            json.dumps(_meta(model)).encode(), dtype=np.uint8
+        ).copy(),
         "X": np.asarray(model.X),
         "y": np.asarray(model.y),
         "theta": np.asarray(model.theta),
         "logweights": np.asarray(model.logweights),
     }
-    import os
-
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(os.path.abspath(path), payload)
 
 
 def load_orbax(path: str, dtype=None):
     """Restore a model saved with :func:`save_orbax`."""
-    import os
-
     import orbax.checkpoint as ocp
 
     with ocp.PyTreeCheckpointer() as ckptr:

@@ -22,7 +22,6 @@ SURVEY §7 we implement the *intended* sharing, not that defect.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -39,7 +38,7 @@ from .leafgp import (
     posterior_from_chol,
 )
 from .ops import cholesky as chol
-from .plan import SharedSchedule, SPNPlan
+from .plan import SharedSchedule
 
 
 def _noisy_gram(layout, theta, batch):

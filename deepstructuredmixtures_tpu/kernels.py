@@ -31,7 +31,7 @@ Semantics notes (deliberate parity decisions):
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Union
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp

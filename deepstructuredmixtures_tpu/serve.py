@@ -29,10 +29,7 @@ from .config import as_2d
 
 
 def _pow2_pad(t: int, floor: int = 16) -> int:
-    n = floor
-    while n < t:
-        n *= 2
-    return n
+    return max(floor, 1 << (t - 1).bit_length())
 
 
 class Predictor:
@@ -47,6 +44,8 @@ class Predictor:
                  warm: bool = True):
         self.model = model
         self.dim = int(model.plan.dim)
+        self._lb = np.asarray(model.X).min(axis=0)
+        self._ub = np.asarray(model.X).max(axis=0)
         self._lock = threading.Lock()  # jax dispatch is not thread-safe here
         if warm:
             model._ensure_posterior()
@@ -55,11 +54,11 @@ class Predictor:
             # spread batches produce the routing density of typical
             # requests. Degenerate batches (everything in one region)
             # compile their own pow-2 tmax variant on first encounter.
-            lb = np.asarray(model.X).min(axis=0)
-            ub = np.asarray(model.X).max(axis=0)
             rng = np.random.default_rng(0)
             for t in warm_sizes:
-                self._predict_padded(rng.uniform(lb, ub, (t, self.dim)))
+                self._predict_padded(
+                    rng.uniform(self._lb, self._ub, (t, self.dim))
+                )
 
     def _predict_padded(self, x):
         T = x.shape[0]
@@ -69,10 +68,8 @@ class Predictor:
             # one row): the routed-predict pad tmax tracks the densest
             # leaf, and a clump of identical padding points would inflate
             # it past the warmed variants, forcing a recompile.
-            lb = np.asarray(self.model.X).min(axis=0)
-            ub = np.asarray(self.model.X).max(axis=0)
             frac = (np.arange(Tp - T) + 0.5) / (Tp - T)
-            fill = lb + frac[:, None] * (ub - lb)
+            fill = self._lb + frac[:, None] * (self._ub - self._lb)
             x = np.concatenate([x, fill], axis=0)
         mean, var = self.model.predict(x)
         return np.asarray(mean)[:T], np.asarray(var)[:T]

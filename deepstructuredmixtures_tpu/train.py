@@ -29,7 +29,6 @@ Memory: for large models the mll+gradient is evaluated in leaf chunks with
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -39,10 +38,9 @@ import optax
 from jax import lax
 
 from . import infer as inferlib
-from .config import EPS
 from .fit import _noisy_gram
 from .hyper import HyperLayout
-from .leafgp import LeafBatch, centered_y, leaf_mll
+from .leafgp import LeafBatch, centered_y, leaf_mll_forward
 from .ops import cholesky as chol
 from .plan import SPNPlan
 
@@ -62,8 +60,6 @@ def _chunk_leaf_mll(layout, theta, batch: LeafBatch):
     Lf = jnp.linalg.cholesky(Kn)
     yc = centered_y(batch)
     z = chol.solve_lower(Lf, yc[..., None])[..., 0]
-    from .leafgp import leaf_mll_forward
-
     return leaf_mll_forward(Lf, z, batch)
 
 
