@@ -100,3 +100,32 @@ def test_train_poe_models():
     before = p.mll()
     dsm.train(p, optax.adam(5e-2), iterations=30, lam=1e-6, randinit=False)
     assert p.mll() > before
+
+
+def test_per_bucket_value_and_grad_matches_monolithic():
+    """make_value_and_grad_bucketed (the large-model path, chain rule
+    through the SPN responsibilities) must equal jax.value_and_grad of the
+    monolithic bucketed objective exactly."""
+    import jax
+
+    from deepstructuredmixtures_tpu.train import (
+        make_mll_fn_bucketed,
+        make_value_and_grad_bucketed,
+    )
+
+    rng = np.random.default_rng(3)
+    x = np.sort(rng.uniform(0, 1, 400)).reshape(-1, 1)
+    y = np.sin(x[:, 0] * 5) + 0.1 * rng.standard_normal(400)
+    m = dsm.build_dsmgp(x, y, V=2, K=3, M=25, kernel=dsm.IsoSE(0.1, -0.1),
+                        log_noise=-1.0, seed=4)
+    mono = jax.value_and_grad(make_mll_fn_bucketed(
+        m.layout, m.plan, m.bucket_batches, m.bucket_spec.leaf_ids
+    ))
+    per = make_value_and_grad_bucketed(
+        m.layout, m.plan, m.bucket_batches, m.bucket_spec.leaf_ids
+    )
+    v1, g1 = mono(m.theta)
+    v2, g2 = per(m.theta)
+    assert abs(float(v1) - float(v2)) < 1e-10
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-9, rtol=1e-9)
