@@ -90,9 +90,17 @@ def fit_shared(
     batch: LeafBatch,
     schedule: SharedSchedule,
     safe: bool = True,
+    with_diagnostics: bool = False,
 ) -> LeafPosterior:
-    """Factor-reuse fit following the precompiled schedule."""
+    """Factor-reuse fit following the precompiled schedule.
+
+    ``with_diagnostics=True`` additionally returns ``(del_fallbacks,
+    cont_fallbacks)`` — how many derived factors failed the PSD guard and
+    were recomputed fresh (≙ the reference's ``@warn`` + refactorize
+    fallbacks, ``fit.jl:197-201,280-290``)."""
     L, n = batch.num_leaves, batch.nmax
+    del_fb = jnp.zeros((), jnp.int32)
+    cont_fb = jnp.zeros((), jnp.int32)
     Kn = _noisy_gram(layout, theta, batch)
 
     eye = jnp.broadcast_to(jnp.eye(n, dtype=Kn.dtype), (L, n, n))
@@ -117,6 +125,7 @@ def fit_shared(
             ok = chol.factor_is_valid(derived, jmask)
             fresh = chol.cholesky_nosym(Kn[jnp.asarray(schedule.del_j)])
             derived = jnp.where(ok[:, None, None], derived, fresh)
+            del_fb = jnp.sum(~ok).astype(jnp.int32)
         Lf = Lf.at[jnp.asarray(schedule.del_j)].set(derived)
 
     # Phase 2b: continue-Cholesky for prefix-extension leaves.
@@ -131,6 +140,7 @@ def fit_shared(
             ok = chol.factor_is_valid(derived, jmask)
             fresh = chol.cholesky_nosym(A)
             derived = jnp.where(ok[:, None, None], derived, fresh)
+            cont_fb = jnp.sum(~ok).astype(jnp.int32)
         Lf = Lf.at[jnp.asarray(schedule.cont_j)].set(derived)
 
     # Phase 2c: verbatim copies last (identical observation sets →
@@ -141,7 +151,10 @@ def fit_shared(
             Lf[jnp.asarray(schedule.copy_i)]
         )
 
-    return posterior_from_chol(Lf, batch)
+    post = posterior_from_chol(Lf, batch)
+    if with_diagnostics:
+        return post, (del_fb, cont_fb)
+    return post
 
 
 def _pad_batch(batch: LeafBatch, chunk: int):
@@ -358,12 +371,15 @@ def fit(
     method: str = "auto",
     chunk: Optional[int] = None,
     safe: bool = True,
+    with_diagnostics: bool = False,
 ) -> LeafPosterior:
     """Posterior fit over all leaf experts.
 
     ``method``: ``'batched'`` (≙ ``fit_naive!``), ``'shared'``
     (≙ ``fit!``), or ``'auto'`` — shared when a schedule with a meaningful
-    derived fraction is available.
+    derived fraction is available. ``with_diagnostics`` additionally
+    returns ``(del_fallbacks, cont_fallbacks)`` PSD-fallback counts
+    (always ``(0, 0)`` on the batched path).
     """
     if method == "auto":
         use_shared = (
@@ -374,5 +390,10 @@ def fit(
     if method == "shared":
         if schedule is None:
             raise ValueError("method='shared' requires a schedule")
-        return fit_shared(layout, theta, batch, schedule, safe=safe)
-    return fit_batched(layout, theta, batch, chunk=chunk)
+        return fit_shared(layout, theta, batch, schedule, safe=safe,
+                          with_diagnostics=with_diagnostics)
+    post = fit_batched(layout, theta, batch, chunk=chunk)
+    if with_diagnostics:
+        zero = jnp.zeros((), jnp.int32)
+        return post, (zero, zero)
+    return post

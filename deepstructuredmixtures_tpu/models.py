@@ -101,7 +101,7 @@ class BaseModel:
             def f(theta, batch):
                 return fitlib.fit(
                     layout, theta, batch, schedule=schedule, method=method,
-                    safe=safe,
+                    safe=safe, with_diagnostics=True,
                 )
 
             self._jit_cache[key] = jax.jit(f)
@@ -135,8 +135,26 @@ class BaseModel:
 
                 self._jit_cache[key] = jax.jit(f)
             post = self._jit_cache[key](self.theta, self.bucket_batches)
+            self.last_fit_diagnostics = {"delete_fallbacks": 0,
+                                         "continue_fallbacks": 0}
         else:
-            post = self._fit_fn(method, safe)(self.theta, self.batch)
+            post, (dfb, cfb) = self._fit_fn(method, safe)(
+                self.theta, self.batch
+            )
+            # ≙ the reference's @warn + refactorize on failed derived
+            # factors (fit.jl:197-201, 280-290)
+            self.last_fit_diagnostics = {
+                "delete_fallbacks": int(dfb),
+                "continue_fallbacks": int(cfb),
+            }
+            if int(dfb) or int(cfb):
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "shared-Cholesky fit: %d delete / %d continue derived "
+                    "factors failed the PSD guard and were refactorized",
+                    int(dfb), int(cfb),
+                )
         jax.block_until_ready(post.mll)
         self.posterior = post
         return time.perf_counter() - t0
