@@ -97,7 +97,18 @@ def fit_shared(
     ``with_diagnostics=True`` additionally returns ``(del_fallbacks,
     cont_fallbacks)`` — how many derived factors failed the PSD guard and
     were recomputed fresh (≙ the reference's ``@warn`` + refactorize
-    fallbacks, ``fit.jl:197-201,280-290``)."""
+    fallbacks, ``fit.jl:197-201,280-290``).
+
+    Requires TIED hypers (``theta`` 1-D): every derivation rule assumes the
+    leaf and its main share one covariance function. With per-leaf hypers
+    (post-``finetune``) those identities are false and derived factors
+    would be silently wrong; the reference likewise refits each leaf fully
+    under its own hypers after fine-tuning (``finetuning.jl:74-85``)."""
+    if jnp.ndim(theta) != 1:
+        raise ValueError(
+            "fit_shared requires tied hypers (theta 1-D); per-leaf hypers "
+            "invalidate factor reuse — use fit_batched"
+        )
     L, n = batch.num_leaves, batch.nmax
     del_fb = jnp.zeros((), jnp.int32)
     cont_fb = jnp.zeros((), jnp.int32)
@@ -376,14 +387,17 @@ def fit(
     """Posterior fit over all leaf experts.
 
     ``method``: ``'batched'`` (≙ ``fit_naive!``), ``'shared'``
-    (≙ ``fit!``), or ``'auto'`` — shared when a schedule with a meaningful
-    derived fraction is available. ``with_diagnostics`` additionally
-    returns ``(del_fallbacks, cont_fallbacks)`` PSD-fallback counts
-    (always ``(0, 0)`` on the batched path).
+    (≙ ``fit!``), or ``'auto'`` — shared when hypers are tied AND a
+    schedule with a meaningful derived fraction is available (per-leaf
+    hypers invalidate factor reuse; see :func:`fit_shared`).
+    ``with_diagnostics`` additionally returns ``(del_fallbacks,
+    cont_fallbacks)`` PSD-fallback counts (always ``(0, 0)`` on the
+    batched path).
     """
     if method == "auto":
         use_shared = (
             schedule is not None
+            and jnp.ndim(theta) == 1
             and schedule.full_idx.size < 0.75 * batch.num_leaves
         )
         method = "shared" if use_shared else "batched"

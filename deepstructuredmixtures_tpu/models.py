@@ -123,8 +123,29 @@ class BaseModel:
         """
         if store == "auto":
             store = "full" if self._factor_bytes() <= (2 << 30) else "light"
+        if method == "shared" and self.theta.ndim == 2:
+            # Factor reuse assumes one tied covariance; per-leaf hypers
+            # (post-finetune / heterogeneous checkpoints) invalidate every
+            # derivation rule. The reference refits each leaf fully under
+            # its own hypers (finetuning.jl:74-85).
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "fit(method='shared') requested with per-leaf (untied) "
+                "hypers; factor reuse is invalid — using method='batched'"
+            )
+            method = "batched"
         t0 = time.perf_counter()
         if store == "light":
+            if method == "shared":
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "fit(method='shared') requested with store='light'; the "
+                    "light path streams fresh factorizations (schedules "
+                    "need the full [L, Nmax, Nmax] factor cache) — using "
+                    "the batched light path"
+                )
             key = ("fit_light_bucketed", chunk)
             if key not in self._jit_cache:
                 layout, ids, L = self.layout, self.bucket_spec.leaf_ids, self.num_leaves

@@ -92,6 +92,14 @@ def test_finetune_improves_and_unties():
     after = m.mll()
     # fine-tuning should not catastrophically degrade the model
     assert after > before - 5.0
+    # the final heterogeneous refit must be the exact batched posterior
+    # (auto must never route untied hypers to the shared schedule)
+    from deepstructuredmixtures_tpu import fit as fitlib
+
+    pb = fitlib.fit_batched(m.layout, m.theta, m.batch)
+    np.testing.assert_allclose(
+        np.asarray(m.leaf_mlls()), np.asarray(pb.mll), atol=1e-6, rtol=1e-9
+    )
 
 
 def test_train_poe_models():
