@@ -11,9 +11,23 @@ The reference publishes no numbers (SURVEY §6), so the baseline is
 ``fit!`` does compute-wise — a full ``potrf`` per leaf plus triangular
 solves (the reference refactorizes every leaf unconditionally at
 ``fit.jl:105``) — on the same tree, then routed per-leaf predictions. The
-result is cached in ``BASELINE_GENERATED.json`` and reused.
+headline CPU figure is a *stratified-sampling extrapolation* (representative
+leaves per size bucket timed exactly, scaled by bucket counts); its error is
+bounded by a fully-measured anchor run at a feasible N (``--anchor``).
+Results are cached in ``BASELINE_GENERATED.json`` and reused.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Besides wall-clock the JSON line reports **MFU**: analytic model FLOPs
+(per leaf with true size n and t routed test points: gram ``2n²D``,
+Cholesky ``n³/3``, forward solves ``2n²(t+1)``, cross-gram ``2ntD``,
+moments ``4nt``) divided by wall-clock and the chip's peak (see
+``_PEAK_FLOPS``).
+
+End-to-end float64 accuracy of the TPU run is gated by a FULL per-leaf
+f64 oracle (``--oracle-chunk`` builds it incrementally on the 1-core CPU
+host; the final combine reports max relative errors of the predictive
+mean/variance and every leaf mll; cached next to the baseline).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu"}.
 """
 from __future__ import annotations
 
@@ -28,6 +42,45 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 BASELINE_CACHE = os.path.join(REPO, "BASELINE_GENERATED.json")
+
+#: Peak FLOP/s used as the MFU denominator, by device_kind prefix. TPU v5e
+#: publishes 197 TFLOP/s bf16 on the MXU; fp32 matmuls pass the MXU several
+#: times, so measuring f32 runs against the full bf16 peak is conservative
+#: (a dtype-aware denominator would only raise the reported MFU).
+_PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+def model_flops(plan, tidx, tmask) -> float:
+    """Analytic model FLOPs of one fused fit+update+predict pass with TRUE
+    leaf sizes (padding work excluded — this is model FLOPs utilisation,
+    not hardware occupancy)."""
+    D = plan.dim
+    t_routed = np.asarray(tmask).sum(axis=1)
+    total = 0.0
+    for l, obs in enumerate(plan.leaf_obs):
+        n = float(obs.size)
+        t = float(t_routed[l])
+        total += (
+            2.0 * n * n * D          # training gram
+            + n ** 3 / 3.0           # Cholesky
+            + 2.0 * n * n * (t + 1)  # forward solve: y and K_nt columns
+            + 2.0 * n * t * D        # cross gram
+            + 4.0 * n * t            # predictive mean + variance reductions
+        )
+    return total
+
+
+def peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "")
+    for prefix, peak in _PEAK_FLOPS.items():
+        if kind.startswith(prefix):
+            return peak
+    return None
 
 
 def make_data(n, seed=0):
@@ -101,7 +154,9 @@ def run_tpu(model, xt, iters=3, budget=2 << 30):
 def _cpu_leaf_work(x, y, xt, plan, theta, l, tidx, tmask):
     """One leaf's fit+predict on CPU f64 — exactly what the reference does
     per leaf: gram + potrf (``update_cholesky!``) + alpha + mll + routed
-    prediction (``prediction``). Returns (seconds, mll)."""
+    prediction (``prediction``). Returns (seconds, mll, mu, var) with the
+    routed predictive moments padded to the tidx width (zeros past the
+    routed count)."""
     import scipy.linalg as sla
 
     logl, logsigma, lognoise = theta[0], theta[1], theta[2]
@@ -111,6 +166,9 @@ def _cpu_leaf_work(x, y, xt, plan, theta, l, tidx, tmask):
     xl = x[obs]
     yl = y[obs] - plan.leaf_mean[l]
     n = len(obs)
+    tmax = tidx.shape[1]
+    mu = np.zeros(tmax)
+    var = np.zeros(tmax)
     t0 = time.perf_counter()
     d2 = ((xl[:, None, :] - xl[None, :, :]) ** 2).sum(-1)
     K = np.exp(2 * logsigma) * np.exp(-0.5 * d2 * np.exp(-2 * logl))
@@ -120,14 +178,15 @@ def _cpu_leaf_work(x, y, xt, plan, theta, l, tidx, tmask):
     mll = -0.5 * (
         yl @ alpha + 2 * np.log(np.diag(Lf)).sum() + n * np.log(2 * np.pi)
     )
-    pts = xt[tidx[l][tmask[l]]]
+    nt = int(tmask[l].sum())
+    pts = xt[tidx[l][:nt]]
     if pts.size:
         d2t = ((xl[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
         Knt = np.exp(2 * logsigma) * np.exp(-0.5 * d2t * np.exp(-2 * logl))
-        _mu = plan.leaf_mean[l] + Knt.T @ alpha
+        mu[:nt] = plan.leaf_mean[l] + Knt.T @ alpha
         V = sla.solve_triangular(Lf, Knt, lower=True)
-        _var = np.exp(2 * logsigma) - (V * V).sum(0) + noise
-    return time.perf_counter() - t0, float(mll)
+        var[:nt] = np.exp(2 * logsigma) - (V * V).sum(0) + noise
+    return time.perf_counter() - t0, float(mll), mu, var
 
 
 def run_cpu_baseline(model, x, y, xt, max_per_bucket=3):
@@ -162,12 +221,232 @@ def run_cpu_baseline(model, x, y, xt, max_per_bucket=3):
         picks = list(dict.fromkeys(int(p) for p in picks))
         times = []
         for l in picks:
-            dt, mll = _cpu_leaf_work(x, y, xt, plan, theta, l, tidx, tmask)
+            dt, mll, _, _ = _cpu_leaf_work(x, y, xt, plan, theta, l, tidx, tmask)
             times.append(dt)
             mlls[l] = mll
             sampled += 1
         total += float(np.mean(times)) * len(ids)
     return total, sampled, mlls
+
+
+# ---------------------------------------------------------------------------
+# Full float64 oracle — every leaf, built incrementally (1-core host)
+# ---------------------------------------------------------------------------
+
+
+def oracle_path(n: int) -> str:
+    return os.path.join(REPO, f".oracle_n{n}.npz")
+
+
+def run_oracle_chunk(model, x, y, xt, start: int, count: int, n: int):
+    """Compute the f64 per-leaf oracle (mll + routed predictive moments)
+    for leaves [start, start+count) and merge into the on-disk store.
+    The store is resumable: re-invoke until ``done == num_leaves``."""
+    plan = model.plan
+    L = plan.num_leaves
+    theta = np.asarray(model.theta, dtype=np.float64)
+    tidx, tmask = model._route(np.asarray(xt))
+    path = oracle_path(n)
+    if os.path.exists(path):
+        st = dict(np.load(path))
+    else:
+        st = {
+            "mll": np.full(L, np.nan),
+            "mu": np.zeros((L, tidx.shape[1])),
+            "var": np.zeros((L, tidx.shape[1])),
+            "done": np.zeros(L, dtype=bool),
+        }
+    end = min(start + count, L)
+    t0 = time.perf_counter()
+    for l in range(start, end):
+        if st["done"][l]:
+            continue
+        _, mll, mu, var = _cpu_leaf_work(x, y, xt, plan, theta, l, tidx, tmask)
+        st["mll"][l] = mll
+        st["mu"][l] = mu
+        st["var"][l] = var
+        st["done"][l] = True
+    np.savez(path, **st)
+    ndone = int(st["done"].sum())
+    print(f"oracle: {ndone}/{L} leaves done "
+          f"(+{end - start} in {time.perf_counter() - t0:.1f}s)")
+    return ndone, L
+
+
+def _np_update_weights(plan, leaf_mlls):
+    """f64 NumPy replica of ``infer.update_weights`` (posterior sum-node
+    weights + root log evidence) for the oracle combine."""
+    vals = np.asarray(leaf_mlls, dtype=np.float64)
+    lw = np.zeros(max(plan.n_sum_edges, 1))
+    for g in plan.groups:
+        child = vals[g.child_slots]
+        if g.kind == "split":
+            new = np.zeros(g.n_parents)
+            np.add.at(new, g.seg, child)
+        else:
+            raw = child + g.neg_logk
+            m = np.full(g.n_parents, -np.inf)
+            np.maximum.at(m, g.seg, raw)
+            e = np.zeros(g.n_parents)
+            np.add.at(e, g.seg, np.exp(raw - m[g.seg]))
+            z = m + np.log(e)
+            lw[g.edge_ids] = raw - z[g.seg]
+            new = z
+        vals = np.concatenate([vals, new])
+    return lw, vals[plan.root_slot]
+
+
+def _np_moment_match(plan, mu, var, lw, tidx, tmask, T):
+    """f64 NumPy replica of ``models._routed_moment_match``."""
+    pw = plan.path_matrix @ lw  # [L]
+    var = np.maximum(var, 1e-8)
+    seg = tidx.reshape(-1)
+    msk = tmask.reshape(-1)
+    muf = mu.reshape(-1)
+    varf = var.reshape(-1)
+    wf = np.broadcast_to(pw[:, None], mu.shape).reshape(-1)
+
+    mu_min = np.full(T, np.inf)
+    np.minimum.at(mu_min, seg[msk], muf[msk])
+    shift = mu_min - 1.0
+
+    def seg_lse(xv):
+        m = np.full(T, -np.inf)
+        np.maximum.at(m, seg[msk], xv[msk])
+        m_safe = np.where(np.isfinite(m), m, 0.0)
+        e = np.zeros(T)
+        np.add.at(e, seg[msk], np.exp(xv[msk] - m_safe[seg[msk]]))
+        return m_safe + np.log(e)
+
+    lmu = seg_lse(wf + np.log(muf - shift[seg]))
+    lmu2 = seg_lse(wf + np.log(np.maximum(muf * muf, 1e-300)))
+    lvar = seg_lse(wf + np.log(varf))
+    mean = np.exp(lmu) + shift
+    v = np.exp(lvar) + (np.exp(lmu2) - mean * mean)
+    return mean, v
+
+
+def oracle_errors(model, xt, n, z_tpu, mean_tpu, var_tpu, mll_tpu):
+    """End-to-end f64-vs-TPU errors from a COMPLETE oracle store, or None.
+
+    Combines the per-leaf f64 moments through the f64 SPN (weight update +
+    log-space moment matching) and reports max relative errors over all
+    2000 test points and all leaves."""
+    path = oracle_path(n)
+    if not os.path.exists(path):
+        return None
+    st = dict(np.load(path))
+    if not st["done"].all():
+        return None
+    plan = model.plan
+    tidx, tmask = model._route(np.asarray(xt))
+    lw, z64 = _np_update_weights(plan, st["mll"])
+    mean64, var64 = _np_moment_match(
+        plan, st["mu"], st["var"], lw, tidx, tmask, xt.shape[0]
+    )
+    rel = lambda a, b: float(
+        np.max(np.abs(np.asarray(a, np.float64) - b)
+               / np.maximum(1e-12, np.abs(b)))
+    )
+    return {
+        "max_rel_err_mean": rel(mean_tpu, mean64),
+        "max_rel_err_var": rel(var_tpu, var64),
+        "max_rel_err_leaf_mll_full": rel(mll_tpu, st["mll"]),
+        "rel_err_log_evidence": abs(float(z_tpu) - z64) / max(1.0, abs(z64)),
+        "oracle_leaves": int(st["done"].sum()),
+    }
+
+
+def run_compare_shared(args, dtype):
+    """Measure ``fit_shared`` (factor reuse: copy / Givens row-delete /
+    delete-then-continue) against ``fit_batched`` (fresh factorization,
+    one MXU batch) on THIS device, at the largest scale whose [L, Nmax²]
+    factors fit in HBM. Records both wall-clocks + the derived fraction in
+    ``BASELINE_GENERATED.json`` (key ``shared_vs_batched_n{N}``) — the data
+    behind fit(method='auto')'s choice."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepstructuredmixtures_tpu import fit as fitlib
+
+    x, y = make_data(args.n)
+    model = build_model(x, y, dtype, args.m_min)
+    layout, sched, batch = model.layout, model.schedule, model.batch
+    L = model.num_leaves
+
+    def timed(f):
+        out = f(model.theta, batch)  # compile + warmup
+        _ = float(out.mll[0])
+        times = []
+        for _i in range(3):
+            t0 = time.perf_counter()
+            out = f(model.theta, batch)
+            _ = float(out.mll[0])  # d2h fence
+            times.append(time.perf_counter() - t0)
+        return min(times), out
+
+    f_b = jax.jit(lambda th, b: fitlib.fit_batched(layout, th, b))
+    f_s = jax.jit(lambda th, b: fitlib.fit_shared(layout, th, b, sched))
+    dt_b, out_b = timed(f_b)
+    dt_s, out_s = timed(f_s)
+    err = float(
+        np.max(np.abs(np.asarray(out_s.mll) - np.asarray(out_b.mll))
+               / np.maximum(1.0, np.abs(np.asarray(out_b.mll))))
+    )
+    entry = {
+        "n": args.n,
+        "leaves": L,
+        "nmax": int(model.plan.nmax),
+        "derived_fraction": round(sched.num_derived / L, 4),
+        "deletions_total": int(sched.del_ndel.sum() + sched.cont_del_ndel.sum()),
+        "batched_s": round(dt_b, 4),
+        "shared_s": round(dt_s, 4),
+        "shared_over_batched": round(dt_s / dt_b, 3),
+        "max_rel_mll_diff": err,
+        "platform": jax.devices()[0].device_kind or jax.devices()[0].platform,
+        "dtype": str(np.dtype(dtype)),
+    }
+    cache = {}
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cache = json.load(f)
+    plat = jax.devices()[0].platform
+    cache[f"shared_vs_batched_n{args.n}_{plat}"] = entry
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(cache, f, indent=1)
+    print(json.dumps(entry))
+
+
+def run_anchor(args, dtype):
+    """Fully-measured (every leaf, no sampling) CPU-f64 baseline at a
+    feasible N, next to the stratified estimate on the same tree — bounds
+    the stratified estimator's error (BASELINE.md)."""
+    x, y = make_data(args.n)
+    xt = np.linspace(-0.05, 1.05, args.test).reshape(-1, 1)
+    model = build_model(x, y, dtype, args.m_min)
+    plan = model.plan
+    theta = np.asarray(model.theta, dtype=np.float64)
+    tidx, tmask = model._route(xt)
+    t_full = 0.0
+    for l in range(plan.num_leaves):
+        dt, _, _, _ = _cpu_leaf_work(x, y, xt, plan, theta, l, tidx, tmask)
+        t_full += dt
+    t_strat, n_sampled, _ = run_cpu_baseline(model, x, y, xt)
+    entry = {
+        "cpu_seconds_full_measured": t_full,
+        "cpu_seconds_stratified": t_strat,
+        "stratified_over_full": t_strat / t_full,
+        "leaves": plan.num_leaves,
+        "sampled_leaves": n_sampled,
+    }
+    cache = {}
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cache = json.load(f)
+    cache[f"anchor_n{args.n}_t{args.test}_m{args.m_min}"] = entry
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(cache, f, indent=1)
+    print(json.dumps(entry))
 
 
 def main():
@@ -178,21 +457,54 @@ def main():
                     help="small sanity run (N=2000)")
     ap.add_argument("--regen-baseline", action="store_true")
     ap.add_argument("--m-min", type=int, default=30)
+    ap.add_argument("--anchor", action="store_true",
+                    help="fully-measured CPU baseline at --n (every leaf "
+                         "timed); bounds the stratified estimator")
+    ap.add_argument("--oracle-chunk", type=int, nargs=2, metavar=("START", "COUNT"),
+                    help="build the full f64 oracle for leaves "
+                         "[START, START+COUNT) and exit (resumable)")
+    ap.add_argument("--compare-shared", action="store_true",
+                    help="time fit_shared vs fit_batched at --n on this "
+                         "device (factors must fit in memory)")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu) — must be set "
+                         "before first backend use")
     args = ap.parse_args()
 
     if args.quick:
         args.n, args.test = 2000, 200
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     dtype = jnp.float32 if jax.devices()[0].platform != "cpu" else jnp.float64
+
+    if args.anchor:
+        run_anchor(args, dtype)
+        return
+    if args.compare_shared:
+        run_compare_shared(args, dtype)
+        return
 
     x, y = make_data(args.n)
     xt = np.linspace(-0.05, 1.05, args.test).reshape(-1, 1)
     model = build_model(x, y, dtype, args.m_min)
 
+    if args.oracle_chunk is not None:
+        start, count = args.oracle_chunk
+        run_oracle_chunk(model, x, y, xt, start, count, args.n)
+        return
+
     dt_tpu, z_tpu, mean_tpu, var_tpu, mll_tpu = run_tpu(model, xt)
+
+    # -- MFU ---------------------------------------------------------------
+    tidx, tmask = model._route(xt)
+    flops = model_flops(model.plan, tidx, tmask)
+    peak = peak_flops(jax.devices()[0])
+    mfu = round(flops / dt_tpu / peak, 4) if peak else None
 
     # -- baseline (cached) -------------------------------------------------
     cache_key = f"n{args.n}_t{args.test}_m{args.m_min}"
@@ -217,11 +529,24 @@ def main():
             json.dump(cache, f, indent=1)
     base = cache[cache_key]
 
+    # -- end-to-end f64 accuracy (when the full oracle store exists) --------
+    errs = oracle_errors(model, xt, args.n, z_tpu, mean_tpu, var_tpu, mll_tpu)
+    if errs is not None and (
+        args.regen_baseline or "max_rel_err_mean" not in base
+    ):
+        base.update(errs)
+        base["tpu_dtype"] = str(np.dtype(dtype))
+        cache[cache_key] = base
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(cache, f, indent=1)
+
     result = {
         "metric": f"dsmgp_v3k4_fit_update_predict_n{args.n}_t{args.test}_wallclock",
         "value": round(dt_tpu, 4),
         "unit": "s",
         "vs_baseline": round(base["cpu_seconds"] / dt_tpu, 2),
+        "mfu": mfu,
+        "model_tflops": round(flops / 1e12, 3),
     }
     print(json.dumps(result))
 

@@ -47,17 +47,54 @@ def _noisy_gram(layout, theta, batch):
     return chol.masked_gram_noise(K, batch.mask, noise, EPS)
 
 
+def _maybe_pallas_chol(layout, theta, batch: LeafBatch):
+    """Factors via the fused Pallas gram+Cholesky kernel when it applies
+    (TPU, float32, single-IsoSE layout, tied hypers, VMEM-sized leaves;
+    measured 1.26x faster than the XLA gram+cholesky at [64, 512] — see
+    ``ops/pallas_chol.py``), else ``None``. Forward (non-differentiated)
+    paths only: the kernel defines no VJP."""
+    from .hyper import unpack
+    from .ops import pallas_chol
+
+    if jnp.ndim(theta) != 1 or len(layout.kinds) != 1:
+        return None
+    if not pallas_chol.supported(batch.nmax, batch.x.dtype, layout.kinds):
+        return None
+    logl, logsigma, lognoise = unpack(layout, theta, 0)
+    L = batch.num_leaves
+    ones = jnp.ones((L,), batch.x.dtype)
+    return pallas_chol.fused_gram_cholesky(
+        batch.x, batch.n, logl[0] * ones, logsigma * ones,
+        jnp.exp(2.0 * lognoise) * ones, eps=EPS,
+    )
+
+
 def fit_batched(layout: HyperLayout, theta, batch: LeafBatch,
-                chunk: Optional[int] = None) -> LeafPosterior:
+                chunk: Optional[int] = None,
+                use_pallas: Optional[bool] = None) -> LeafPosterior:
     """Fresh batched factorization of all leaves.
 
     ``chunk`` bounds peak memory: leaves are processed ``chunk`` at a time
     with ``lax.map`` (factors are still all materialized in the result; use
     the streaming helpers in ``train.py`` when factors must not persist).
+    ``use_pallas``: route the gram+Cholesky through the fused Pallas
+    kernel; ``None`` auto-enables whenever it applies.
     """
     if chunk is None or chunk >= batch.num_leaves:
-        Kn = _noisy_gram(layout, theta, batch)
-        Lf = chol.cholesky_nosym(Kn)
+        Lf = (
+            _maybe_pallas_chol(layout, theta, batch)
+            if use_pallas is not False
+            else None
+        )
+        if Lf is None:
+            if use_pallas:
+                raise ValueError(
+                    "use_pallas=True but the fused kernel does not apply "
+                    "(needs TPU, float32, one IsoSE kernel, tied hypers, "
+                    "nmax a multiple of 128 and <= 1024)"
+                )
+            Kn = _noisy_gram(layout, theta, batch)
+            Lf = chol.cholesky_nosym(Kn)
         return posterior_from_chol(Lf, batch)
 
     L = batch.num_leaves
@@ -139,10 +176,23 @@ def fit_shared(
             del_fb = jnp.sum(~ok).astype(jnp.int32)
         Lf = Lf.at[jnp.asarray(schedule.del_j)].set(derived)
 
-    # Phase 2b: continue-Cholesky for prefix-extension leaves.
+    # Phase 2b: (delete-then-)continue-Cholesky. The main's factor is
+    # row-deleted down to the factor of the leaf's leading observations
+    # (no-op for pure prefix extensions), gathered into the leading block,
+    # and the factorization continues from row P (≙ the intended superset
+    # path of fit.jl:208-292; see plan._share_case).
     if schedule.cont_j.size:
         A = Kn[jnp.asarray(schedule.cont_j)]
         Ltop = Lf[jnp.asarray(schedule.cont_i)]
+        if schedule.cont_del_ndel.max(initial=0) > 0:
+            Ltop = jax.vmap(chol.givens_delete_rows)(
+                Ltop,
+                jnp.asarray(schedule.cont_del_pos),
+                jnp.asarray(schedule.cont_del_ndel),
+            )
+            Ltop = jax.vmap(lambda M, k: M[k][:, k])(
+                Ltop, jnp.asarray(schedule.cont_keep)
+            )
         P = jnp.asarray(schedule.cont_p)
         derived = jax.vmap(chol.chol_continue)(A, Ltop, P)
         jmask = batch.mask[jnp.asarray(schedule.cont_j)]
@@ -387,20 +437,28 @@ def fit(
     """Posterior fit over all leaf experts.
 
     ``method``: ``'batched'`` (≙ ``fit_naive!``), ``'shared'``
-    (≙ ``fit!``), or ``'auto'`` — shared when hypers are tied AND a
-    schedule with a meaningful derived fraction is available (per-leaf
-    hypers invalidate factor reuse; see :func:`fit_shared`).
+    (≙ ``fit!``), or ``'auto'``.
+
+    ``'auto'`` always resolves to BATCHED, on measured cost: on a TPU v5e
+    (N=10k benchmark tree, 24% derived leaves) ``fit_shared`` runs 11.3x
+    SLOWER than ``fit_batched`` (1.376s vs 0.122s), and on CPU f64
+    (N=4k, 24% derived) 119.7x slower (90.1s vs 0.75s) —
+    ``BASELINE_GENERATED.json: shared_vs_batched_*``. The Givens
+    deletion sweeps are sequential and latency-bound, and the
+    static-shape masked ``chol_continue`` does strictly more work than a
+    fresh factorization (full-width solve + Schur update + trailing
+    Cholesky vs one Cholesky). Factor reuse cannot beat one batched MXU
+    pass under this execution model; ``method='shared'`` remains
+    available for reference-semantics parity (≙ ``fit!``,
+    ``fit.jl:67-292``) and is bit-gated against ``fit_batched`` in
+    ``tests/test_fit.py``.
+
     ``with_diagnostics`` additionally returns ``(del_fallbacks,
     cont_fallbacks)`` PSD-fallback counts (always ``(0, 0)`` on the
     batched path).
     """
     if method == "auto":
-        use_shared = (
-            schedule is not None
-            and jnp.ndim(theta) == 1
-            and schedule.full_idx.size < 0.75 * batch.num_leaves
-        )
-        method = "shared" if use_shared else "batched"
+        method = "batched"
     if method == "shared":
         if schedule is None:
             raise ValueError("method='shared' requires a schedule")

@@ -117,9 +117,39 @@ class GaussianProcess:
         self._state = None
 
     # -- fitting / inference ----------------------------------------------
-    def fit(self):
-        """≙ ``update_cholesky!`` (``gaussianprocess.jl:87-108``)."""
-        self._state = _fit(self.kernel.kind, self.nl, self.theta, self.x, self.yc)
+    def fit(self, mesh=None, block: int = 256):
+        """≙ ``update_cholesky!`` (``gaussianprocess.jl:87-108``).
+
+        ``mesh``: a ``jax.sharding.Mesh`` routes the fit through the
+        distributed blocked Cholesky (``parallel.dist_chol``) with the
+        covariance row-sharded across devices — the path for a single
+        expert whose [N, N] covariance exceeds one chip's HBM (the
+        reference caps experts at one host's memory; this removes the
+        cap). Inputs are zero-padded up to the ``num_devices * block``
+        tiling automatically; prediction then runs distributed too.
+        """
+        if mesh is None:
+            self._state = _fit(
+                self.kernel.kind, self.nl, self.theta, self.x, self.yc
+            )
+            self._mesh = None
+            return self
+        from .parallel.dist_chol import sharded_gp_fit
+
+        ndev = mesh.shape[next(iter(mesh.shape))]
+        tile = ndev * block
+        npad = ((self.n + tile - 1) // tile) * tile
+        xp = jnp.zeros((npad, self.d), dtype=self.x.dtype).at[: self.n].set(self.x)
+        yp = jnp.zeros((npad,), dtype=self.yc.dtype).at[: self.n].set(self.yc)
+        logl, logsigma, lognoise = (
+            self.theta[: self.nl], self.theta[self.nl], self.theta[self.nl + 1]
+        )
+        alpha, mll, Lf = sharded_gp_fit(
+            xp, yp, logl, logsigma, lognoise, mesh, block=block,
+            valid_n=self.n, kind=self.kernel.kind, return_factor=True,
+        )
+        self._state = (Lf, alpha, mll)
+        self._mesh = (mesh, block, xp)
         return self
 
     def _ensure(self):
@@ -139,9 +169,26 @@ class GaussianProcess:
     def predict(self, xt, full_cov: bool = False):
         """Posterior prediction (≙ ``prediction``,
         ``gaussianprocess.jl:110-137``). Returns ``(mu, var)`` or
-        ``(mu, Sigma)`` with observation noise on the diagonal."""
+        ``(mu, Sigma)`` with observation noise on the diagonal. After a
+        ``fit(mesh=...)``, runs distributed on the sharded factor
+        (``full_cov`` not supported there)."""
         Lf, alpha, _ = self._ensure()
         xt = jnp.asarray(as_2d(np.asarray(xt)), dtype=self.x.dtype)
+        if getattr(self, "_mesh", None) is not None:
+            if full_cov:
+                raise NotImplementedError(
+                    "full_cov prediction is single-device only; the "
+                    "distributed path returns marginal variances"
+                )
+            from .parallel.dist_chol import sharded_gp_predict
+
+            mesh, block, xp = self._mesh
+            return sharded_gp_predict(
+                Lf, xp, alpha,
+                self.theta[: self.nl], self.theta[self.nl],
+                self.theta[self.nl + 1], xt, mesh, block=block,
+                mean=self.mean_value, valid_n=self.n, kind=self.kernel.kind,
+            )
         return _predict(
             self.kernel.kind, self.nl, full_cov, self.theta, self.x, self.yc,
             self.mean_value, Lf, alpha, xt,

@@ -12,12 +12,13 @@ Device-side, jit-friendly equivalents of the reference recursions in
   evidence (≙ ``update!``, ``common.jl:323-334``); ``infer_weights`` resets
   internal sums to uniform and keeps only leaf-level (kernel-mixture) sums
   posterior (≙ ``infer!``, ``common.jl:336-355``).
-* ``predict_dsmgp`` — exact mixture moment matching in log space with the
-  reference's ``μmin - 1`` shift trick (``common.jl:134-143,275-302``),
-  computed flat over (test point, leaf) pairs: a leaf is active for x iff
-  x lies in its half-open box (equivalent to the recursive ``getchild``
-  routing, ``common.jl:101-122``) and its mixture weight is the product of
-  the sum-node weights along its path.
+* ``leaf_membership`` / ``path_logweights`` — routing and mixture-weight
+  primitives for prediction: a leaf is active for x iff x lies in its
+  half-open box (equivalent to the recursive ``getchild`` routing,
+  ``common.jl:101-122``) and its mixture weight is the product of the
+  sum-node weights along its path. The moment-matching combination itself
+  (≙ ``common.jl:134-143,275-302``) lives in ``models._routed_moment_match``
+  on the routed (leaf, point) pairs.
 * ``predict_poe`` / ``predict_gpoe`` / ``predict_rbcm`` — precision-weighted
   expert fusion (≙ ``common.jl:198-273``); gPoE uses ``β = 1/M`` with M the
   number of root children and rBCM the prior-corrected β of Deisenroth & Ng
@@ -25,17 +26,10 @@ Device-side, jit-friendly equivalents of the reference recursions in
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from .config import EPS
-from .leafgp import LeafBatch, LeafPosterior, leaf_predict
 from .plan import SPNPlan
-
-NEG_INF = -jnp.inf
 
 
 def _segment_logsumexp(x, seg, num_segments):
@@ -142,43 +136,6 @@ def path_logweights(plan: SPNPlan, logweights):
     root-to-leaf path ``[L]``."""
     P = jnp.asarray(plan.path_matrix, dtype=logweights.dtype)
     return P @ logweights
-
-
-def predict_dsmgp(
-    plan: SPNPlan,
-    mu: jnp.ndarray,  # [L, T] per-leaf predictive means
-    var: jnp.ndarray,  # [L, T] per-leaf predictive variances (incl. noise)
-    active: jnp.ndarray,  # [T, L] leaf activity mask
-    logweights: jnp.ndarray,  # [E]
-):
-    """Mixture moment matching in log space (≙ ``common.jl:275-302``).
-
-    Per test point: ``μ = Σ_l w_l μ_l`` and
-    ``v = Σ_l w_l σ²_l + Σ_l w_l μ_l² - μ²`` over active leaves, computed
-    via logsumexp with the reference's min-mean shift
-    (``_minpredict``/``μmin - 1``, ``common.jl:151-173,294-301``) for
-    stability and exact parity.
-    """
-    pw = path_logweights(plan, logweights)  # [L]
-    act = active.T  # [L, T]
-    var = jnp.maximum(var, EPS)  # variance floor (common.jl:137)
-
-    mu_min = jnp.min(jnp.where(act, mu, jnp.inf), axis=0)  # [T]
-    shift = mu_min - 1.0
-    w = jnp.where(act, pw[:, None], NEG_INF)  # [L, T]
-
-    lmu = w + jnp.log(mu - shift[None, :])
-    lmu2 = w + jnp.log(jnp.maximum(mu * mu, 0.0))
-    lvar = w + jnp.log(var)
-
-    lse = jax.scipy.special.logsumexp
-    lm = lse(lmu, axis=0)
-    lm2 = lse(lmu2, axis=0)
-    lv = lse(lvar, axis=0)
-
-    mean = jnp.exp(lm) + shift
-    v = jnp.exp(lv) + (jnp.exp(lm2) - mean * mean)
-    return mean, v
 
 
 def predict_poe(mu, var):

@@ -448,16 +448,19 @@ def build_dsmgp(
     seed=None,
     dtype=None,
     do_fit: bool = True,
+    pad_multiple: int = 8,
 ) -> DSMGP:
     """Build a DSMGP (≙ ``buildDSMGP``, ``treeStructure.jl:328-339``).
 
     ``V``: children per sum node; ``K``: splits per split node; ``eps``:
     split-position noise; ``M``: min observations per expert; ``depth``:
-    max sum depth.
+    max sum depth. ``pad_multiple=128`` makes the padded leaf batch
+    eligible for the fused Pallas gram+Cholesky kernel on TPU
+    (``ops/pallas_chol.py``; f32, IsoSE, leaves <= 1024).
     """
     kernel = kernel if kernel is not None else IsoSE(1.0, 1.0)
     config = DSMGPConfig(mean_fun, kernel, log_noise, M, K, V, depth, eps, sum_root)
-    model = DSMGP(*_build_common(x, y, config, seed, dtype, tau))
+    model = DSMGP(*_build_common(x, y, config, seed, dtype, tau, pad_multiple))
     if do_fit:
         model.fit()  # initial posterior fit (≙ treeStructure.jl:434)
     return model
@@ -479,6 +482,7 @@ def build_poe(
     seed=None,
     dtype=None,
     do_fit: bool = True,
+    pad_multiple: int = 8,
 ):
     """Build a (generalized) product of experts
     (≙ ``buildPoE``, ``treeStructure.jl:360-371``): split-only tree with
@@ -486,7 +490,7 @@ def build_poe(
     kernel = kernel if kernel is not None else IsoSE(1.0, 1.0)
     config = DSMGPConfig(mean_fun, kernel, log_noise, M, K, 1, depth, eps, False)
     cls = GPoE if generalized else PoE
-    model = cls(*_build_common(x, y, config, seed, dtype, tau))
+    model = cls(*_build_common(x, y, config, seed, dtype, tau, pad_multiple))
     if do_fit:
         model.fit()
     return model
@@ -507,12 +511,13 @@ def build_bcm(
     seed=None,
     dtype=None,
     do_fit: bool = True,
+    pad_multiple: int = 8,
 ) -> RBCM:
     """Build a robust Bayesian committee machine
     (≙ ``buildBCM``, ``treeStructure.jl:392-403``)."""
     kernel = kernel if kernel is not None else IsoSE(1.0, 1.0)
     config = DSMGPConfig(mean_fun, kernel, log_noise, M, K, 1, depth, eps, False)
-    model = RBCM(*_build_common(x, y, config, seed, dtype, tau))
+    model = RBCM(*_build_common(x, y, config, seed, dtype, tau, pad_multiple))
     if do_fit:
         model.fit()
     return model

@@ -4,6 +4,8 @@ from .mesh import (
     pad_leaves,
     make_sharded_mll_fn,
     make_sharded_train_step,
+    make_sharded_routed_predict,
+    sharded_bucketed_streamed_predict,
     sharded_fit,
 )
 from .dist_chol import (
@@ -19,6 +21,8 @@ __all__ = [
     "pad_leaves",
     "make_sharded_mll_fn",
     "make_sharded_train_step",
+    "make_sharded_routed_predict",
+    "sharded_bucketed_streamed_predict",
     "sharded_fit",
     "sharded_cholesky",
     "sharded_solve_lower",

@@ -163,19 +163,24 @@ def sharded_cholesky(A, mesh: Mesh, axis: str = EXPERT_AXIS, block: int = 256):
 
 def sharded_solve_lower(Lf, b, mesh: Mesh, axis: str = EXPERT_AXIS,
                         block: int = 256):
-    """Forward substitution ``L x = b`` with ``Lf [N, N]`` row-sharded.
+    """Forward substitution ``L X = B`` with ``Lf [N, N]`` row-sharded and
+    ``b`` a vector ``[N]`` or matrix ``[N, T]`` (multi-RHS: the predictive
+    cross-covariance solve, ≙ ``gp.cK.L \\ Knt``).
 
     Blocked: per step the owner solves its ``B``-block against the running
     residual, the solution block is broadcast, and every chip updates its
-    residual rows with one MXU matvec — the distributed counterpart of the
+    residual rows with one MXU matmul — the distributed counterpart of the
     alpha solve (``gaussianprocess.jl:105``).
     """
     N = Lf.shape[0]
     ndev = mesh.shape[axis]
     rows, block = _check_blocking(N, ndev, block)
     nsteps = N // block
+    vec = b.ndim == 1
+    B2 = b[:, None] if vec else b
+    T = B2.shape[1]
     spec = P(axis, None)
-    vspec = P(axis)
+    vspec = P(axis, None)
 
     @partial(
         shard_map,
@@ -194,24 +199,25 @@ def sharded_solve_lower(Lf, b, mesh: Mesh, axis: str = EXPERT_AXIS,
             owner = s // rows
             lo = jnp.where(me == owner, s - owner * rows, 0)
             Dblk = lax.dynamic_slice(L_loc, (lo, s), (block, block))
-            rblk = lax.dynamic_slice(b_loc, (lo,), (block,))
+            rblk = lax.dynamic_slice(b_loc, (lo, 0), (block, T))
             Dblk = jnp.where(me == owner, Dblk, 0.0)
             rblk = jnp.where(me == owner, rblk, 0.0)
             Dblk = lax.psum(Dblk, axis)
             rblk = lax.psum(rblk, axis)
             xblk = lax.linalg.triangular_solve(
-                Dblk, rblk[:, None], left_side=True, lower=True
-            )[:, 0]
+                Dblk, rblk, left_side=True, lower=True
+            )  # [B, T]
             # write the solved block into x
-            in_blk = ((gri[:, 0] >= s) & (gri[:, 0] < s + block))
+            in_blk = gri >= s
+            in_blk &= gri < s + block
             xfull = jnp.zeros_like(x_loc)
             xfull = lax.dynamic_update_slice(
-                xfull, xblk, (jnp.where(me == owner, s - owner * rows, 0),)
+                xfull, xblk, (jnp.where(me == owner, s - owner * rows, 0), 0)
             )
             x_loc = jnp.where(me == owner, jnp.where(in_blk, xfull, x_loc), x_loc)
             # residual update for rows below the block
             Lcol = lax.dynamic_slice(L_loc, (0, s), (rows, block))
-            below = gri[:, 0] >= s + block
+            below = gri >= s + block
             b_loc = jnp.where(
                 below,
                 b_loc - jnp.matmul(Lcol, xblk, precision=HIGH),
@@ -225,8 +231,9 @@ def sharded_solve_lower(Lf, b, mesh: Mesh, axis: str = EXPERT_AXIS,
         return x_loc
 
     Lf = jax.device_put(Lf, NamedSharding(mesh, spec))
-    b = jax.device_put(b, NamedSharding(mesh, vspec))
-    return run(Lf, b)
+    B2 = jax.device_put(B2, NamedSharding(mesh, vspec))
+    out = run(Lf, B2)
+    return out[:, 0] if vec else out
 
 
 def sharded_solve_lower_t(Lf, z, mesh: Mesh, axis: str = EXPERT_AXIS,
@@ -291,16 +298,26 @@ def sharded_solve_lower_t(Lf, z, mesh: Mesh, axis: str = EXPERT_AXIS,
 
 
 def sharded_gp_fit(x, y, logl, logsigma, lognoise, mesh: Mesh,
-                   axis: str = EXPERT_AXIS, block: int = 256, eps: float = 1e-8):
+                   axis: str = EXPERT_AXIS, block: int = 256,
+                   eps: float = 1e-8, valid_n=None, kind: str = "iso_se",
+                   return_factor: bool = False):
     """Exact-GP fit of ONE giant leaf whose covariance exceeds a single
-    chip: builds the IsoSE gram row-sharded (each chip computes only its
-    rows), factors it with :func:`sharded_cholesky`, and returns
-    ``(alpha [N], mll)`` via two distributed triangular solves.
+    chip: builds the gram row-sharded (each chip computes only its rows),
+    factors it with :func:`sharded_cholesky`, and returns ``(alpha [N],
+    mll)`` via two distributed triangular solves.
 
     This is the multi-chip replacement for ``update_cholesky!`` + ``mll``
     (``gaussianprocess.jl:87-108,163``) on experts past one-chip HBM.
+
+    ``valid_n``: true observation count when ``x``/``y`` were padded up to
+    the ``num_devices * block`` tiling (pad with ANY rows; they are masked
+    to identity here — padding ``x`` without this would insert real kernel
+    rows and corrupt alpha/mll). ``kind``: any kernel kind from
+    ``kernels.gram`` (``logl`` is then a per-dimension vector for ARD
+    kinds).
     """
     N = x.shape[0]
+    valid_n = N if valid_n is None else int(valid_n)
     spec = P(axis, None)
 
     @partial(
@@ -311,29 +328,78 @@ def sharded_gp_fit(x, y, logl, logsigma, lognoise, mesh: Mesh,
         check_vma=False,
     )
     def gram_rows(x_rows, x_all):
-        # shard-local block of the IsoSE gram — same kernel function as the
+        # shard-local block of the gram — same kernel function as the
         # single-chip path (kernels.gram), so precision/jitter fixes there
         # automatically reach the distributed path.
         from ..kernels import gram
 
-        K = gram("iso_se", jnp.asarray([logl]), jnp.asarray(logsigma),
-                 x_rows, x_all)
+        K = gram(kind, jnp.atleast_1d(jnp.asarray(logl)),
+                 jnp.asarray(logsigma), x_rows, x_all)
         me = lax.axis_index(axis)
         rows = x_rows.shape[0]
         gri = me * rows + lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
         cj = lax.broadcasted_iota(jnp.int32, (1, N), 1)
         noise = jnp.exp(2.0 * lognoise) + eps
-        return K + noise * (cj == gri)
+        Kn = K + noise * (cj == gri)
+        # identity-pad rows/cols past valid_n (exact no-ops downstream,
+        # same convention as ops.cholesky.pad_identity)
+        valid = (gri < valid_n) & (cj < valid_n)
+        return jnp.where(valid, Kn, (cj == gri).astype(Kn.dtype))
 
     xs = jax.device_put(x, NamedSharding(mesh, P(axis, None)))
+    y = jnp.where(jnp.arange(N) < valid_n, y, 0.0)
     K = gram_rows(xs, x)
     Lf = sharded_cholesky(K, mesh, axis=axis, block=block)
     z = sharded_solve_lower(Lf, y, mesh, axis=axis, block=block)
     alpha = sharded_solve_lower_t(Lf, z, mesh, axis=axis, block=block)
+    # identity padding rows contribute log(1) = 0 to the logdet and 0 to
+    # the quadratic term (y is zeroed there), so only the 2π count needs
+    # the true size.
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lf)))
     mll = -0.5 * (
         jnp.dot(y, alpha, precision=HIGH)
         + logdet
-        + N * jnp.log(2.0 * jnp.pi)
+        + valid_n * jnp.log(2.0 * jnp.pi)
     )
+    if return_factor:
+        return alpha, mll, Lf
     return alpha, mll
+
+
+def sharded_gp_predict(Lf, x, alpha, logl, logsigma, lognoise, xt,
+                       mesh: Mesh, axis: str = EXPERT_AXIS,
+                       block: int = 256, mean: float = 0.0, valid_n=None,
+                       kind: str = "iso_se"):
+    """Posterior prediction of the giant sharded leaf: ``(mu [T], var [T])``
+    with observation noise on the diagonal (≙ ``prediction``,
+    ``gaussianprocess.jl:110-137``), the cross-covariance built row-sharded
+    and solved by the distributed multi-RHS forward substitution.
+    """
+    from ..kernels import gram, gram_diag
+
+    N = x.shape[0]
+    valid_n = N if valid_n is None else int(valid_n)
+    logl_v = jnp.atleast_1d(jnp.asarray(logl))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None, None)),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )
+    def cross_rows(x_rows, xt_all):
+        Knt = gram(kind, logl_v, jnp.asarray(logsigma), x_rows, xt_all)
+        me = lax.axis_index(axis)
+        rows = x_rows.shape[0]
+        gri = me * rows + lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        return jnp.where(gri < valid_n, Knt, 0.0)  # padding rows inert
+
+    xs = jax.device_put(x, NamedSharding(mesh, P(axis, None)))
+    Knt = cross_rows(xs, xt)  # [N, T] row-sharded
+    mu = mean + jnp.matmul(Knt.T, alpha, precision=HIGH)
+    V = sharded_solve_lower(Lf, Knt, mesh, axis=axis, block=block)  # [N, T]
+    ktt = gram_diag(kind, logl_v, jnp.asarray(logsigma), xt)
+    noise = jnp.exp(2.0 * jnp.asarray(lognoise))
+    var = ktt - jnp.sum(V * V, axis=0) + noise
+    return mu, var

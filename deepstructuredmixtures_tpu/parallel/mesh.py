@@ -15,6 +15,7 @@ Everything here works identically on a virtual CPU mesh
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -23,10 +24,21 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
 from .. import infer as inferlib
 from ..fit import _noisy_gram
 from ..hyper import HyperLayout
-from ..leafgp import LeafBatch, centered_y, leaf_mll, posterior_from_chol
+from ..leafgp import (
+    LeafBatch,
+    centered_y,
+    leaf_mll,
+    leaf_predict,
+    posterior_from_chol,
+)
 from ..ops import cholesky as chol
 from ..plan import SPNPlan
 
@@ -106,6 +118,137 @@ def sharded_fit(layout, theta, batch: LeafBatch, mesh: Mesh,
         return posterior_from_chol(Lf, b)
 
     return f(theta, sbatch)
+
+
+def _pad_rows(a, rows: int):
+    pad = rows - a.shape[0]
+    if pad <= 0:
+        return a
+    z = jnp.zeros((pad,) + a.shape[1:], dtype=a.dtype)
+    return jnp.concatenate([a, z], axis=0)
+
+
+def make_sharded_routed_predict(
+    layout: HyperLayout,
+    plan: SPNPlan,
+    batch: LeafBatch,
+    mesh: Mesh,
+    axis: str = EXPERT_AXIS,
+):
+    """Routed DSMGP prediction with the leaf (expert) axis sharded.
+
+    The heavy per-leaf work — covariance, Cholesky, solves, routed
+    cross-covariances — shards across the mesh; only the [L]-vector of
+    leaf mlls and the [L, tmax] routed moments cross the ICI for the
+    (tiny) SPN weight update and log-space moment matching, which run
+    replicated (≙ the single-device ``DSMGP.predict`` +
+    ``update_weights`` pipeline).
+
+    Returns ``(f, prepare)``: ``prepare(tidx, tmask)`` pads/places the
+    routing arrays on the mesh; ``f(theta, xt, tidx_p, tmask_p)`` is
+    jitted and returns ``(z_root, mean [T], var [T])``.
+    """
+    from ..models import _routed_moment_match
+
+    L = plan.num_leaves
+    sbatch = shard_batch(batch, mesh, axis)
+    Lp = sbatch.num_leaves
+    shl = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+
+    def prepare(tidx, tmask):
+        ti = jax.device_put(_pad_rows(jnp.asarray(tidx), Lp), shl)
+        tm = jax.device_put(_pad_rows(jnp.asarray(tmask), Lp), shl)
+        return ti, tm
+
+    @jax.jit
+    def f(theta, xt, tidx_p, tmask_p):
+        T = xt.shape[0]
+        Kn = _noisy_gram(layout, theta, sbatch)
+        Lf = jnp.linalg.cholesky(Kn)
+        post = posterior_from_chol(Lf, sbatch)
+        xt_leaf = xt[tidx_p]  # [Lp, tmax, D] sharded on leaves
+        mu, var = leaf_predict(layout, theta, sbatch, post, xt_leaf)
+        # replicate the small per-leaf results for the SPN combination
+        mu = jax.lax.with_sharding_constraint(mu, rep)[:L]
+        var = jax.lax.with_sharding_constraint(var, rep)[:L]
+        mll = jax.lax.with_sharding_constraint(post.mll, rep)[:L]
+        ti = jax.lax.with_sharding_constraint(tidx_p, rep)[:L]
+        tm = jax.lax.with_sharding_constraint(tmask_p, rep)[:L]
+        lw, z = inferlib.update_weights(plan, mll)
+        mean, v = _routed_moment_match(plan, mu, var, lw, ti, tm, T)
+        return z, mean, v
+
+    return f, prepare
+
+
+def sharded_bucketed_streamed_predict(
+    layout: HyperLayout,
+    theta,
+    batches,
+    leaf_ids,
+    L: int,
+    xt,
+    tidx,
+    tmask,
+    mesh: Mesh,
+    axis: str = EXPERT_AXIS,
+    budget: int = 2 << 30,
+):
+    """The benchmark path — fused fit+predict over size buckets with
+    factors recomputed chunk-wise and never persisted — sharded over the
+    expert mesh: each device runs the chunked streaming loop over ITS
+    leaves only (``shard_map``; zero cross-device traffic inside a
+    bucket), and the per-leaf moments are scattered back replicated.
+
+    Same signature/result as ``fit.bucketed_streamed_predict`` plus the
+    mesh: ``(mu [L, tmax], var, mll [L])``.
+    """
+    from ..fit import default_chunk, streamed_leaf_predict
+
+    ndev = mesh.shape[axis]
+    T = xt.shape[0] if tidx is None else tidx.shape[1]
+    dt = batches[0].x.dtype
+    if tidx is None:
+        # PoE-family: every leaf predicts all T points — expressed as a
+        # trivial routing so one shard_map body serves both shapes.
+        tidx = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (L, T))
+        tmask = jnp.ones((L, T), dtype=bool)
+    mu = jnp.zeros((L, T), dtype=dt)
+    var = jnp.ones((L, T), dtype=dt)
+    mll = jnp.zeros((L,), dtype=dt)
+    tied = jnp.ndim(theta) == 1
+    for b, ids in zip(batches, leaf_ids):
+        nb = int(np.ceil(b.num_leaves / ndev)) * ndev
+        bpad = LeafBatch(*[_pad_rows(a, nb) for a in b])
+        idx = jnp.asarray(ids)
+        ti = _pad_rows(jnp.asarray(tidx)[idx], nb)
+        tm = _pad_rows(jnp.asarray(tmask)[idx], nb)
+        th = theta if tied else _pad_rows(theta[idx], nb)
+        local_rows = nb // ndev
+        chunk = max(1, min(default_chunk(b.nmax, dt, budget), local_rows))
+
+        bspec = LeafBatch(*([P(axis)] * len(bpad)))
+        tspec = P() if tied else P(axis)
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(bspec, tspec, P(), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis)),
+            check_vma=False,
+        )
+        def run(b_loc, th_loc, xt_all, ti_loc, tm_loc):
+            return streamed_leaf_predict(
+                layout, th_loc, b_loc, xt_all, ti_loc, tm_loc, chunk=chunk
+            )
+
+        mu_b, var_b, mll_b = run(bpad, th, jnp.asarray(xt, dt), ti, tm)
+        nb_true = idx.shape[0]
+        mu = mu.at[idx].set(mu_b[:nb_true])
+        var = var.at[idx].set(var_b[:nb_true])
+        mll = mll.at[idx].set(mll_b[:nb_true])
+    return mu, var, mll
 
 
 def make_sharded_train_step(

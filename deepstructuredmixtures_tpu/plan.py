@@ -355,7 +355,7 @@ class SharedSchedule:
     sets, so it is computed once host-side and becomes a static, batched
     program: fully factorize ``full_idx``; copy factors along
     ``(copy_j ← copy_i)``; Givens-delete rows for the ``del_*`` group; and
-    continue-Cholesky prefix extensions for the ``cont_*`` group.
+    (delete-then-)continue-Cholesky extensions for the ``cont_*`` group.
     """
 
     full_idx: np.ndarray  # [F]
@@ -369,18 +369,68 @@ class SharedSchedule:
     cont_j: np.ndarray
     cont_i: np.ndarray
     cont_p: np.ndarray  # [Gc] number of already-factored leading rows
+    cont_del_pos: np.ndarray  # [Gc, Dmax'] main-row positions to delete first
+    cont_del_ndel: np.ndarray  # [Gc]
+    cont_keep: np.ndarray  # [Gc, Nmax] main-row position of each kept row
+
+    @property
+    def num_derived(self) -> int:
+        return self.copy_j.size + self.del_j.size + self.cont_j.size
+
+
+def _share_case(oj: np.ndarray, oi: np.ndarray, tau: float):
+    """Generalized factor-reuse analysis of leaf ``oj`` against main ``oi``
+    (both sorted global index arrays).
+
+    Let ``prefix`` be the elements of ``oj`` up to main's last observation.
+    If ``prefix ⊆ oi`` and the rows of ``oi`` NOT in ``prefix`` (ahead of
+    the last kept row) are few (< τ·|oj|), then main's factor row-deletes
+    down to the factor of ``prefix`` and a continue-Cholesky extends it to
+    all of ``oj``. Degenerate forms recover the reference's cases exactly:
+    ``prefix == oj`` is the pure row-delete path (j ⊆ main,
+    ``fit.jl:145-206``) and zero deletions is the pure prefix-extension
+    path (``fit.jl:208-292``). The general mixed form is the superset the
+    reference's ``(true,false)`` machinery aims at (its ``toupdate`` +
+    ``chol_continue!`` sequence, ``fit.jl:251-281``) but never reaches —
+    its ``length(s1) != length(s2)`` guard sends every non-exact-prefix
+    case to a full refactorization. Here it fires for any pair whose head
+    regions overlap this way, raising the derived fraction.
+
+    Returns ``None`` (no reuse) or ``(kind, dels, keep, k)`` with ``kind``
+    in ``{'copy', 'delete', 'continue'}``, ``dels/keep`` positions in
+    main's rows, and ``k = |prefix|`` the continue start.
+    """
+    max_m = oi[-1]
+    k = int(np.searchsorted(oj, max_m, side="right"))
+    if k == 0:
+        return None
+    prefix = oj[:k]
+    member = np.isin(oi, prefix)
+    if int(member.sum()) != k:  # prefix ⊄ main
+        return None
+    keep = np.where(member)[0]
+    # deletions past the last kept row never touch a kept row (a Givens
+    # delete at r only corrects rows > r) — drop them.
+    dels = np.where(~member)[0]
+    dels = dels[dels < keep[-1]]
+    if dels.size >= tau * oj.size:  # τ stability guard (fit.jl:174,256)
+        return None
+    if k == oj.size:
+        if dels.size == 0 and keep.size == oi.size:
+            return ("copy", dels, keep, k)
+        return ("delete", dels, keep, k)
+    return ("continue", dels, keep, k)
 
 
 def build_schedule(plan: SPNPlan, tau: float = 0.05) -> SharedSchedule:
     """Compile the reference's ``fit!`` scheduling into static groups.
 
     Main-partner selection ``i = argmax(D[:,j] .* D[j,:])``
-    (``fit.jl:77-86``); case analysis ≙ ``fit.jl:107-116`` dispatching on
-    ``(D[i,j]==1, D[j,i]==1)`` with the kernel-id and
-    ``first(obs)`` guards; the ``τ`` stability threshold gates the
-    row-delete path (``fit.jl:174,256``). Mains of derived leaves are always
-    fully factorized (the reference factorizes them on first use,
-    ``fit.jl:97-100``).
+    (``fit.jl:77-86``); case analysis generalizes ``fit.jl:107-116`` (see
+    :func:`_share_case`; the reference's kernel-id and ``first(obs)``
+    guards are implied by the prefix-membership test). Mains of derived
+    leaves are always fully factorized (the reference factorizes them on
+    first use, ``fit.jl:97-100``).
     """
     D = plan.overlap
     L = plan.num_leaves
@@ -392,38 +442,18 @@ def build_schedule(plan: SPNPlan, tau: float = 0.05) -> SharedSchedule:
     case = {}
     for j in range(L):
         i = int(main[j])
-        if i == j or kid[i] != kid[j] or obs[j][0] < obs[i][0]:
+        if i == j or kid[i] != kid[j]:
             case[j] = ("full",)
             continue
-        ione = D[i, j] == 1.0
-        jone = D[j, i] == 1.0
-        if ione and jone:
-            case[j] = ("copy", i)
-        elif jone:
-            # j ⊂ main: delete rows of main not in j (up to j's last ob),
-            # then slice (fit.jl:145-206).
-            oj, oi = obs[j], obs[i]
-            e = int(np.searchsorted(oi, oj[-1]))  # position of maxJ in main
-            member = np.isin(oi, oj)
-            dels = np.where(~member[: e + 1])[0]
-            if dels.size / oj.size < tau:
-                keep = np.where(member)[0]
-                assert keep.size == oj.size
-                case[j] = ("delete", i, dels, keep)
-            else:
-                case[j] = ("full",)
-        elif ione:
-            # j ⊃ main: continue the factorization past main's block
-            # (fit.jl:208-292). Only valid when main's obs are exactly a
-            # prefix of j's obs (the reference falls back to a full solve
-            # otherwise via its length/minJ guards, fit.jl:251-252).
-            oj, oi = obs[j], obs[i]
-            if oj.size > oi.size and np.array_equal(oj[: oi.size], oi):
-                case[j] = ("continue", i, oi.size)
-            else:
-                case[j] = ("full",)
-        else:
+        c = _share_case(obs[j], obs[i], tau)
+        if c is None:
             case[j] = ("full",)
+        elif c[0] == "copy":
+            case[j] = ("copy", i)
+        elif c[0] == "delete":
+            case[j] = ("delete", i, c[1], c[2])
+        else:
+            case[j] = ("continue", i, c[3], c[1], c[2])
 
     # --- resolve dependencies ------------------------------------------
     # Copy chains (j copies i, i copies k, ...) are redirected to their
@@ -479,9 +509,21 @@ def build_schedule(plan: SPNPlan, tau: float = 0.05) -> SharedSchedule:
         del_keep[g, : keep.size] = keep
 
     cont_js = [j for j in derived if case[j][0] == "continue"]
+    cdmax = max((case[j][3].size for j in cont_js), default=1)
     cont_j = np.asarray(cont_js, dtype=np.int32)
     cont_i = np.array([case[j][1] for j in cont_js], dtype=np.int32)
     cont_p = np.array([case[j][2] for j in cont_js], dtype=np.int32)
+    cont_del_pos = np.zeros((len(cont_js), max(cdmax, 1)), dtype=np.int32)
+    cont_del_ndel = np.zeros(len(cont_js), dtype=np.int32)
+    cont_keep = np.zeros((len(cont_js), plan.nmax), dtype=np.int32)
+    for g, j in enumerate(cont_js):
+        _, _, k, dels, keep = case[j]
+        cont_del_pos[g, : dels.size] = dels
+        cont_del_ndel[g] = dels.size
+        # the gathered factor's leading k rows are the kept main rows; the
+        # remainder of the gather map is irrelevant (masked past P by
+        # chol_continue) but must stay in-bounds.
+        cont_keep[g, : keep.size] = keep
 
     return SharedSchedule(
         full_idx=full_idx,
@@ -495,4 +537,7 @@ def build_schedule(plan: SPNPlan, tau: float = 0.05) -> SharedSchedule:
         cont_j=cont_j,
         cont_i=cont_i,
         cont_p=cont_p,
+        cont_del_pos=cont_del_pos,
+        cont_del_ndel=cont_del_ndel,
+        cont_keep=cont_keep,
     )

@@ -43,6 +43,7 @@ class Predictor:
     def __init__(self, model, warm_sizes=(16, 32, 64, 128, 256),
                  warm: bool = True):
         self.model = model
+        self.warm_max = max(warm_sizes)
         self.dim = int(model.plan.dim)
         self._lb = np.asarray(model.X).min(axis=0)
         self._ub = np.asarray(model.X).max(axis=0)
@@ -62,6 +63,18 @@ class Predictor:
 
     def _predict_padded(self, x):
         T = x.shape[0]
+        if T > self.warm_max:
+            # Requests past the largest warmed size class run in warmed-size
+            # chunks: latency stays bounded by already-compiled programs and
+            # one oversized body cannot trigger an unbounded pad + compile
+            # while holding the predictor lock. Per-point predictions are
+            # independent, so chunking is exact.
+            means, vars_ = [], []
+            for s in range(0, T, self.warm_max):
+                m, v = self._predict_padded(x[s : s + self.warm_max])
+                means.append(m)
+                vars_.append(v)
+            return np.concatenate(means), np.concatenate(vars_)
         Tp = _pow2_pad(T)
         if Tp != T:
             # pad with points SPREAD over the training box (not repeats of
@@ -101,7 +114,12 @@ class Predictor:
         }
 
 
-def make_handler(predictor: Predictor):
+#: default request-body cap (bytes); ~16 MiB ≈ 500k float literals — far
+#: beyond any sane prediction batch, small enough to bound allocation.
+MAX_BODY_BYTES = 16 << 20
+
+
+def make_handler(predictor: Predictor, max_body_bytes: int = MAX_BODY_BYTES):
     from http.server import BaseHTTPRequestHandler
 
     class Handler(BaseHTTPRequestHandler):
@@ -130,6 +148,12 @@ def make_handler(predictor: Predictor):
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > max_body_bytes:
+                    self._send(413, {
+                        "error": f"request body {n} bytes exceeds limit "
+                                 f"{max_body_bytes}"
+                    })
+                    return
                 req = json.loads(self.rfile.read(n))
                 mean, var, dt = predictor.predict(np.asarray(req["x"]))
                 self._send(200, {
@@ -143,10 +167,13 @@ def make_handler(predictor: Predictor):
     return Handler
 
 
-def serve(predictor: Predictor, host: str = "127.0.0.1", port: int = 8000):
+def serve(predictor: Predictor, host: str = "127.0.0.1", port: int = 8000,
+          max_body_bytes: int = MAX_BODY_BYTES):
     from http.server import ThreadingHTTPServer
 
-    server = ThreadingHTTPServer((host, port), make_handler(predictor))
+    server = ThreadingHTTPServer(
+        (host, port), make_handler(predictor, max_body_bytes)
+    )
     return server
 
 
@@ -155,13 +182,14 @@ def main(argv=None):
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--max-body-bytes", type=int, default=MAX_BODY_BYTES)
     args = ap.parse_args(argv)
 
     from . import checkpoint
 
     model = checkpoint.load(args.checkpoint)
     pred = Predictor(model)
-    server = serve(pred, args.host, args.port)
+    server = serve(pred, args.host, args.port, args.max_body_bytes)
     print(f"serving {type(model).__name__} on http://{args.host}:{args.port}")
     server.serve_forever()
 

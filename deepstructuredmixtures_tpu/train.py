@@ -45,6 +45,39 @@ from .ops import cholesky as chol
 from .plan import SPNPlan
 
 
+class _Progress:
+    """Live single-line training display (≙ ProgressMeter,
+    ``optimisers.jl:25,54,122``: iteration / δ / llh refreshed in place).
+
+    ``enable=None`` auto-enables on a TTY stderr; an explicit bool forces.
+    """
+
+    def __init__(self, label: str, total: int, enable=None):
+        import sys
+
+        self.label = label
+        self.total = total
+        self.out = sys.stderr
+        self.on = self.out.isatty() if enable is None else bool(enable)
+        self._dirty = False
+
+    def show(self, it: int, value: float, delta: float):
+        if not self.on:
+            return
+        d = f"{delta:.4g}" if np.isfinite(delta) else "--"
+        self.out.write(
+            f"\r[{self.label}] iter {it + 1}/{self.total}  "
+            f"llh={value:.4f}  delta={d}   "
+        )
+        self.out.flush()
+        self._dirty = True
+
+    def close(self, note: str = ""):
+        if self.on and self._dirty:
+            self.out.write(note + "\n")
+            self.out.flush()
+
+
 # ---------------------------------------------------------------------------
 # Leaf mll as a pure function of the hyper vector (chunked + rematerialized)
 # ---------------------------------------------------------------------------
@@ -180,10 +213,14 @@ def train(
     chunk: Optional[int] = None,
     seed=None,
     verbose: bool = False,
+    progress=None,
 ):
     """Train tied hyperparameters by mll ascent (≙ ``train!``,
     ``optimisers.jl:4-87``). Mutates ``model.theta``, refits, and returns
-    the mll history array."""
+    the mll history array.
+
+    ``progress``: live single-line iteration/llh/δ display (≙ ProgressMeter,
+    ``optimisers.jl:25,54``); ``None`` auto-enables on a TTY."""
     optimizer = optimizer or optax.adam(1e-3)
     layout, plan, batch = model.layout, model.plan, model.batch
     P = model.theta.shape[-1]
@@ -229,6 +266,7 @@ def train(
     hist = np.zeros(iterations)
     c = 0
     it = 0
+    bar = _Progress("train", iterations, progress)
     for it in range(iterations):
         val, new_theta, opt_state = step(theta, opt_state)
         hist[it] = float(val)
@@ -239,12 +277,14 @@ def train(
         delta = (
             abs(hist[it] - hist[it - 10 : it - 1].mean()) if it >= 10 else np.inf
         )
+        bar.show(it, hist[it], delta)
         if verbose and it % 50 == 0:
             print(f"[train] iter={it} mll={hist[it]:.4f} delta={delta:.4g}")
         c = c + 1 if delta < lam else 0
         if c >= earlystop:
             it += 1
             break
+    bar.close(f" (stopped after {it} iterations)")
 
     model.set_params(theta)
     model.fit()
@@ -258,6 +298,7 @@ def train_gp(
     lam: float = 0.1,
     randinit: bool = True,
     seed=None,
+    progress=None,
 ):
     """Train a standalone exact GP (≙ single-GP ``train!``,
     ``optimisers.jl:89-145``) with NaN rollback."""
@@ -286,6 +327,7 @@ def train_gp(
     hist = np.zeros(iterations)
     old = theta
     it = 0
+    bar = _Progress("train_gp", iterations, progress)
     for it in range(iterations):
         val, new_theta, opt_state = step(theta, opt_state)
         hist[it] = float(val)
@@ -295,11 +337,13 @@ def train_gp(
         delta = (
             abs(hist[it] - hist[it - 10 : it - 1].mean()) if it >= 10 else np.inf
         )
+        bar.show(it, hist[it], delta)
         old = theta
         theta = new_theta
         if delta < lam:
             it += 1
             break
+    bar.close()
 
     gp.set_params(theta)
     gp.fit()
@@ -323,6 +367,46 @@ def _weighted_root_mll(layout, plan, batch, theta, w):
     return vals[plan.root_slot], lm
 
 
+def make_finetune_vg_bucketed(layout, plan: SPNPlan, batches, leaf_ids,
+                              budget: int = 2 << 30):
+    """Per-candidate ``(theta_j [P], w [L]) -> (leaf mlls [L], grad [P])``
+    through the size-bucketed chunked programs — the large-model finetune
+    path (the monolithic vmapped candidate pass OOMs at N=100k).
+
+    Same chain-rule factoring as :func:`make_value_and_grad_bucketed`:
+    the D-row-weighted gradient is exactly
+    ``Σ_l resp_l · w_l · d mll_l/dθ`` (the stop-gradient surrogate of
+    ``_weighted_root_mll``, ≙ ``optimize.jl:92-150``), so it decomposes
+    into one small VJP per bucket with cotangent ``resp · w``.
+    """
+    from .fit import _bucket_chunk
+
+    L = plan.num_leaves
+    fwd_fns, vg_fns, idx = [], [], []
+    for b, ids in zip(batches, leaf_ids):
+        chunk = _bucket_chunk(b.nmax, b.num_leaves, b.x.dtype, budget)
+        f = leaf_mlls_fn(layout, b, chunk if chunk < b.num_leaves else None)
+        fwd_fns.append(jax.jit(f))
+        vg_fns.append(
+            jax.jit(jax.grad(lambda th, rw, f=f: jnp.vdot(rw, f(th))))
+        )
+        idx.append(jnp.asarray(ids))
+    resp_fn = jax.jit(lambda mll: inferlib.leaf_responsibilities(plan, mll))
+
+    def vg(theta_j, w):
+        mll = jnp.zeros((L,), theta_j.dtype)
+        for f, ids in zip(fwd_fns, idx):
+            mll = mll.at[ids].set(f(theta_j))
+        rw = resp_fn(mll) * w
+        g = None
+        for gfn, ids in zip(vg_fns, idx):
+            gb = gfn(theta_j, rw[ids])
+            g = gb if g is None else g + gb
+        return mll, g
+
+    return vg
+
+
 def finetune(
     model,
     optimizer=None,
@@ -332,6 +416,8 @@ def finetune(
     self_weight: float = 1.0,
     cand_chunk: Optional[int] = None,
     verbose: bool = False,
+    progress=None,
+    bucketed: Optional[bool] = None,
 ):
     """Fine-tune per-leaf hyperparameters (≙ ``finetune!``,
     ``finetuning.jl:3-88``).
@@ -342,6 +428,11 @@ def finetune(
     row of ``H`` is updated — all candidates batched (chunked by
     ``cand_chunk``). On exit each leaf keeps its own hypers and the model is
     refit heterogeneously (``finetuning.jl:74-85``).
+
+    Large models (any size bucket ≥ 4096) evaluate candidates through the
+    size-bucketed chunked programs (:func:`make_finetune_vg_bucketed`)
+    instead of vmapping over the monolithic padded batch, so finetune runs
+    at N=100k within the same memory budget as ``train``.
     """
     optimizer = optimizer or optax.adam(1e-3)
     layout, plan, batch = model.layout, model.plan, model.batch
@@ -357,60 +448,88 @@ def finetune(
 
     cand_chunk = cand_chunk or max(1, min(L, 4096 // max(plan.nmax, 1)))
 
-    # gradient of the weighted root mll, plus the leaf's own mll (the value
-    # the reference tracks for early stopping: l += L[gp.id],
-    # finetuning.jl:51)
-    def obj(theta_j, w_j):
-        root, lm = _weighted_root_mll(layout, plan, batch, theta_j, w_j)
-        return root, lm
+    per_bucket = bucketed
+    if per_bucket is None:
+        per_bucket = (
+            getattr(model, "bucket_batches", None) is not None
+            and max(b.nmax for b in model.bucket_batches) >= 4096
+        )
+    if per_bucket:
+        vg_one = make_finetune_vg_bucketed(
+            layout, plan, model.bucket_batches, model.bucket_spec.leaf_ids
+        )
 
-    def one_candidate(theta_j, w_j, j):
-        (root, lm), vjp = jax.vjp(lambda th: obj(th, w_j), theta_j)
-        (g,) = vjp((jnp.ones((), dtype=theta_j.dtype), jnp.zeros_like(lm)))
-        return g, lm[j]
+        apply_fn = jax.jit(
+            lambda G, opt_state, H: optimizer.update(-G, opt_state, H)
+        )
 
-    batched = jax.vmap(one_candidate, in_axes=(0, 0, 0))
+        def iteration(H, opt_state):
+            G = np.zeros(H.shape, dtype=np.asarray(H).dtype)
+            own = np.zeros(L)
+            for j in range(L):
+                mll_j, g_j = vg_one(H[j], Dd[j])
+                G[j] = np.asarray(g_j)
+                own[j] = float(mll_j[j])
+            updates, opt_state = apply_fn(jnp.asarray(G), opt_state, H)
+            return optax.apply_updates(H, updates), opt_state, float(own.sum())
+    else:
+        # gradient of the weighted root mll, plus the leaf's own mll (the
+        # value the reference tracks for early stopping: l += L[gp.id],
+        # finetuning.jl:51)
+        def obj(theta_j, w_j):
+            root, lm = _weighted_root_mll(layout, plan, batch, theta_j, w_j)
+            return root, lm
 
-    @jax.jit
-    def iteration(H, opt_state):
-        js = jnp.arange(L)
-        if cand_chunk >= L:
-            G, own = batched(H, Dd, js)
-        else:
-            pad = (-L) % cand_chunk
-            Hp = jnp.concatenate([H, H[:pad]], axis=0) if pad else H
-            Dp = jnp.concatenate([Dd, Dd[:pad]], axis=0) if pad else Dd
-            jp = jnp.concatenate([js, js[:pad]], axis=0) if pad else js
-            nc = Hp.shape[0] // cand_chunk
+        def one_candidate(theta_j, w_j, j):
+            (root, lm), vjp = jax.vjp(lambda th: obj(th, w_j), theta_j)
+            (g,) = vjp((jnp.ones((), dtype=theta_j.dtype), jnp.zeros_like(lm)))
+            return g, lm[j]
 
-            def body(i):
-                sl = lambda a: lax.dynamic_slice_in_dim(
-                    a, i * cand_chunk, cand_chunk, axis=0
-                )
-                return batched(sl(Hp), sl(Dp), sl(jp))
+        batched = jax.vmap(one_candidate, in_axes=(0, 0, 0))
 
-            G, own = lax.map(body, jnp.arange(nc))
-            G = G.reshape((-1,) + G.shape[2:])[:L]
-            own = own.reshape(-1)[:L]
-        updates, opt_state = optimizer.update(-G, opt_state, H)
-        return optax.apply_updates(H, updates), opt_state, jnp.sum(own)
+        @jax.jit
+        def iteration(H, opt_state):
+            js = jnp.arange(L)
+            if cand_chunk >= L:
+                G, own = batched(H, Dd, js)
+            else:
+                pad = (-L) % cand_chunk
+                Hp = jnp.concatenate([H, H[:pad]], axis=0) if pad else H
+                Dp = jnp.concatenate([Dd, Dd[:pad]], axis=0) if pad else Dd
+                jp = jnp.concatenate([js, js[:pad]], axis=0) if pad else js
+                nc = Hp.shape[0] // cand_chunk
+
+                def body(i):
+                    sl = lambda a: lax.dynamic_slice_in_dim(
+                        a, i * cand_chunk, cand_chunk, axis=0
+                    )
+                    return batched(sl(Hp), sl(Dp), sl(jp))
+
+                G, own = lax.map(body, jnp.arange(nc))
+                G = G.reshape((-1,) + G.shape[2:])[:L]
+                own = own.reshape(-1)[:L]
+            updates, opt_state = optimizer.update(-G, opt_state, H)
+            return optax.apply_updates(H, updates), opt_state, jnp.sum(own)
 
     opt_state = optimizer.init(H)
     hist = np.zeros(iterations)
     c = 0
     it = 0
+    bar = _Progress("finetune", iterations, progress)
     for it in range(iterations):
         H, opt_state, val = iteration(H, opt_state)
         hist[it] = float(val)
         delta = (
             abs(hist[it] - hist[it - 10 : it - 1].mean()) if it >= 10 else np.inf
         )
+        bar.show(it, hist[it], delta)
         if verbose and it % 10 == 0:
             print(f"[finetune] iter={it} sum-own-mll={hist[it]:.4f}")
         c = c + 1 if delta < lam else 0
         if c >= earlystop:
             it += 1
             break
+    bar.close(f" (stopped after {it} iterations)")
 
     # final heterogeneous refit: each leaf with its own hypers
     model.set_params(H)

@@ -108,3 +108,60 @@ def test_sharded_gp_fit_matches_exact_gp():
     )
     assert np.abs(np.asarray(alpha) - aref).max() < 1e-6
     assert abs(float(mll) - mll_ref) < 1e-6 * max(1.0, abs(mll_ref))
+
+    # ragged N: pad x/y up to the tiling and pass valid_n — padding rows
+    # are masked to identity and must not perturb alpha or the mll.
+    pad = 512 + 3 * 64  # not divisible by 8*64 -> pad to 1024
+    Np = 1024
+    xp = np.zeros((Np, 1))
+    xp[:pad] = 0.0
+    xp[: N] = x
+    yp = np.zeros(Np)
+    yp[:N] = y
+    alpha_p, mll_p = sharded_gp_fit(
+        jnp.asarray(xp), jnp.asarray(yp), logl, logsigma, lognoise, mesh,
+        block=64, valid_n=N,
+    )
+    assert np.abs(np.asarray(alpha_p)[:N] - aref).max() < 1e-6
+    assert np.abs(np.asarray(alpha_p)[N:]).max() == 0.0
+    assert abs(float(mll_p) - mll_ref) < 1e-6 * max(1.0, abs(mll_ref))
+
+
+def test_sharded_solve_lower_matrix_rhs():
+    mesh = make_mesh(8)
+    N, T = 512, 9
+    A = _spd(N, seed=5)
+    L = np.linalg.cholesky(A)
+    rng = np.random.default_rng(6)
+    B = rng.standard_normal((N, T))
+    X = sharded_solve_lower(jnp.asarray(L), jnp.asarray(B), mesh, block=64)
+    import scipy.linalg as sla
+
+    Xref = sla.solve_triangular(L, B, lower=True)
+    assert np.abs(np.asarray(X) - Xref).max() < 1e-8
+
+
+def test_giant_gp_model_layer_distributed_fit_predict():
+    """The model-layer route for experts past one chip:
+    GaussianProcess.fit(mesh=...) + predict must match the dense
+    single-device GP (including automatic padding to the mesh tiling)."""
+    import deepstructuredmixtures_tpu as dsm
+
+    mesh = make_mesh(8)
+    N = 700  # deliberately NOT divisible by 8*64 — exercises the padding
+    rng = np.random.default_rng(9)
+    x = np.sort(rng.uniform(0, 1, N)).reshape(-1, 1)
+    y = np.sin(x[:, 0] * 6) + 0.1 * rng.standard_normal(N)
+    kern = dsm.IsoSE(-1.0, 0.0)
+
+    gp_d = dsm.GaussianProcess(x, y, kernel=kern, log_noise=-1.5).fit(
+        mesh=mesh, block=64
+    )
+    gp_s = dsm.GaussianProcess(x, y, kernel=kern, log_noise=-1.5).fit()
+
+    assert abs(gp_d.mll() - gp_s.mll()) < 1e-8 * max(1.0, abs(gp_s.mll()))
+    xt = np.linspace(-0.1, 1.1, 33).reshape(-1, 1)
+    mu_d, var_d = gp_d.predict(xt)
+    mu_s, var_s = gp_s.predict(xt)
+    np.testing.assert_allclose(np.asarray(mu_d), np.asarray(mu_s), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var_d), np.asarray(var_s), atol=1e-8)

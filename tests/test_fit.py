@@ -76,6 +76,45 @@ def test_shared_fit_matches_batched_on_forced_cases():
         )
 
 
+def _gencont_pair():
+    """Two leaves hitting the GENERALIZED delete-then-continue case: the
+    main's factor must be row-deleted (interior row 7 of main is absent
+    from j) before the continue extension — neither leaf is a subset of
+    the other, so the reference (and the r1 schedule) would refit j from
+    scratch."""
+    main = _leaf(np.arange(40))
+    j = _leaf(np.concatenate([np.delete(np.arange(40), 7), np.arange(40, 60)]))
+    return SumNode(children=[main, j], logweights=np.full(2, -np.log(2.0)))
+
+
+def test_general_delete_then_continue_schedule():
+    plan = compile_tree(_gencont_pair(), X)
+    sched = build_schedule(plan, tau=0.05)
+    assert sched.full_idx.size == 1
+    assert sched.cont_j.size == 1
+    assert sched.cont_del_ndel[0] == 1  # one interior Givens deletion
+    assert sched.cont_p[0] == 39  # continue from the 39-row prefix
+
+
+def test_general_delete_then_continue_parity():
+    plan = compile_tree(_gencont_pair(), X)
+    sched = build_schedule(plan, tau=0.05)
+    kernels = (dsm.IsoSE(0.1, 0.2),)
+    layout = make_layout(kernels)
+    theta = jnp.asarray(initial_vector(kernels, -1.0))
+    batch = plan.leaf_batch(X, Y, jnp.float64)
+    pb = fitlib.fit_batched(layout, theta, batch)
+    ps = fitlib.fit_shared(layout, theta, batch, sched)
+    np.testing.assert_allclose(np.asarray(ps.mll), np.asarray(pb.mll), atol=1e-8)
+    for l in range(plan.num_leaves):
+        n = int(batch.n[l])
+        np.testing.assert_allclose(
+            np.asarray(ps.chol)[l, :n, :n],
+            np.asarray(pb.chol)[l, :n, :n],
+            atol=1e-8,
+        )
+
+
 def test_leaf_mll_matches_oracle():
     root = _handcrafted()
     plan = compile_tree(root, X)

@@ -79,3 +79,32 @@ def test_http_endpoint_roundtrip():
     finally:
         server.shutdown()
 
+
+def test_oversized_body_rejected_and_big_batches_chunked():
+    m = _model()
+    p = Predictor(m, warm_sizes=(16,), warm=True)
+    server = serve(p, port=0, max_body_bytes=4096)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # body over the configured cap -> 413, predictor never touched
+        big = json.dumps({"x": [[0.5]] * 2000}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=big
+        )
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            raise AssertionError("expected HTTP 413")
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+    finally:
+        server.shutdown()
+    # batches past the largest warmed class run in warmed-size chunks
+    # (exact: per-point predictions are independent)
+    xt = np.linspace(0, 1, 53).reshape(-1, 1)  # 53 > warm_max = 16
+    mean_p, var_p, _ = p.predict(xt)
+    mean_d, var_d = m.predict(xt)
+    np.testing.assert_allclose(mean_p, np.asarray(mean_d), atol=1e-10)
+    np.testing.assert_allclose(var_p, np.asarray(var_d), atol=1e-10)
+

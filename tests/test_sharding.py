@@ -8,9 +8,11 @@ import deepstructuredmixtures_tpu as dsm
 from deepstructuredmixtures_tpu.parallel import (
     make_mesh,
     make_sharded_mll_fn,
+    make_sharded_routed_predict,
     make_sharded_train_step,
     pad_leaves,
     shard_batch,
+    sharded_bucketed_streamed_predict,
     sharded_fit,
 )
 from deepstructuredmixtures_tpu.train import make_mll_fn
@@ -82,6 +84,58 @@ def test_sharded_train_step_runs_and_improves():
     for _ in range(10):
         v, theta, opt_state = step(theta, opt_state)
     assert float(v) > v_prev
+
+
+def test_sharded_routed_predict_matches_single_device():
+    """The full routed DSMGP prediction pipeline (fit + weight update +
+    log-space moment matching) over the 8-device mesh must equal the
+    single-device model.predict bit-for-bit tolerances."""
+    m = _model()
+    mesh = make_mesh(8)
+    xt = np.linspace(-0.05, 1.05, 73).reshape(-1, 1)
+    tidx, tmask = m._route(xt)
+
+    f, prepare = make_sharded_routed_predict(m.layout, m.plan, m.batch, mesh)
+    ti, tm = prepare(tidx, tmask)
+    z_s, mean_s, var_s = f(m.theta, jnp.asarray(xt, m.dtype), ti, tm)
+
+    m.fit(method="batched")
+    z_l = m.update()
+    mean_l, var_l = m.predict(xt)
+    assert abs(float(z_s) - z_l) < 1e-10
+    np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_l), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_l), atol=1e-10)
+
+
+def test_sharded_streamed_bucketed_predict_matches_local():
+    """The benchmark path (bucketed + chunked streaming, factors never
+    persisted) sharded over the mesh must equal the local bucketed path."""
+    from deepstructuredmixtures_tpu import fit as fitlib
+
+    m = _model(seed=3)
+    mesh = make_mesh(8)
+    xt = np.linspace(-0.05, 1.05, 60).reshape(-1, 1)
+    tidx, tmask = m._route(xt)
+    args = (m.layout, m.theta, m.bucket_batches, m.bucket_spec.leaf_ids,
+            m.num_leaves, jnp.asarray(xt, m.dtype), jnp.asarray(tidx),
+            jnp.asarray(tmask))
+    mu_l, var_l, mll_l = fitlib.bucketed_streamed_predict(*args)
+    mu_s, var_s, mll_s = sharded_bucketed_streamed_predict(*args, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(mll_s), np.asarray(mll_l), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_l), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_l), atol=1e-10)
+
+    # PoE-family shape (no routing): every leaf predicts all points
+    mu_l2, var_l2, _ = fitlib.bucketed_streamed_predict(
+        m.layout, m.theta, m.bucket_batches, m.bucket_spec.leaf_ids,
+        m.num_leaves, jnp.asarray(xt, m.dtype),
+    )
+    mu_s2, var_s2, _ = sharded_bucketed_streamed_predict(
+        m.layout, m.theta, m.bucket_batches, m.bucket_spec.leaf_ids,
+        m.num_leaves, jnp.asarray(xt, m.dtype), None, None, mesh=mesh,
+    )
+    np.testing.assert_allclose(np.asarray(mu_s2), np.asarray(mu_l2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(var_s2), np.asarray(var_l2), atol=1e-10)
 
 
 def test_batch_actually_sharded():

@@ -137,3 +137,57 @@ def test_per_bucket_value_and_grad_matches_monolithic():
     assert abs(float(v1) - float(v2)) < 1e-10
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                atol=1e-9, rtol=1e-9)
+
+
+def test_finetune_bucketed_candidate_grad_matches_monolithic():
+    """The large-model finetune path (make_finetune_vg_bucketed) must
+    reproduce the monolithic vmapped candidate gradients exactly — same
+    D-row-weighted objective, different program partitioning."""
+    from deepstructuredmixtures_tpu.train import (
+        _weighted_root_mll,
+        make_finetune_vg_bucketed,
+    )
+
+    m = _model(seed=6, V=2, K=3)
+    L = m.num_leaves
+    H = np.tile(np.asarray(m.theta), (L, 1))
+    H[:, 0] += np.linspace(-0.3, 0.3, L)
+    Dd = m.plan.overlap.copy()
+    np.fill_diagonal(Dd, 1.0)
+
+    vg = make_finetune_vg_bucketed(
+        m.layout, m.plan, m.bucket_batches, m.bucket_spec.leaf_ids
+    )
+
+    def mono(theta_j, w_j):
+        (root, lm), vjp = jax.vjp(
+            lambda th: _weighted_root_mll(m.layout, m.plan, m.batch, th, w_j),
+            theta_j,
+        )
+        (g,) = vjp((jnp.ones((), dtype=theta_j.dtype), jnp.zeros_like(lm)))
+        return lm, g
+
+    for j in (0, L // 2, L - 1):
+        th = jnp.asarray(H[j])
+        w = jnp.asarray(Dd[j])
+        lm_b, g_b = vg(th, w)
+        lm_m, g_m = mono(th, w)
+        np.testing.assert_allclose(np.asarray(lm_b), np.asarray(lm_m),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_m),
+                                   atol=1e-9, rtol=1e-9)
+
+
+def test_finetune_bucketed_path_end_to_end():
+    """finetune(bucketed=True) runs the large-model per-bucket candidate
+    path end to end and lands on the same hypers as the monolithic path
+    (identical objective, deterministic optimizer)."""
+    m1 = _model(seed=7, V=2, K=2)
+    m2 = _model(seed=7, V=2, K=2)
+    h1 = dsm.finetune(m1, optax.adam(1e-2), iterations=4, lam=1e-9)
+    h2 = dsm.finetune(m2, optax.adam(1e-2), iterations=4, lam=1e-9,
+                      bucketed=True)
+    assert m1.theta.ndim == 2 and m2.theta.ndim == 2
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(m1.theta), np.asarray(m2.theta),
+                               atol=1e-8)
