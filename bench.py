@@ -326,12 +326,15 @@ def _np_moment_match(plan, mu, var, lw, tidx, tmask, T):
     return mean, v
 
 
-def oracle_errors(model, xt, n, z_tpu, mean_tpu, var_tpu, mll_tpu):
+def oracle_errors(model, xt, n, z_tpu, mean_tpu, var_tpu, mll_tpu,
+                  y_scale: float = 1.0):
     """End-to-end f64-vs-TPU errors from a COMPLETE oracle store, or None.
 
     Combines the per-leaf f64 moments through the f64 SPN (weight update +
-    log-space moment matching) and reports max relative errors over all
-    2000 test points and all leaves."""
+    log-space moment matching) and reports errors over all test points and
+    all leaves. Means are reported in ABSOLUTE terms (and relative to the
+    target scale ``y_scale``): predictive means cross zero, so a pointwise
+    relative error is dominated by near-zero denominators and misleading."""
     path = oracle_path(n)
     if not os.path.exists(path):
         return None
@@ -348,8 +351,12 @@ def oracle_errors(model, xt, n, z_tpu, mean_tpu, var_tpu, mll_tpu):
         np.max(np.abs(np.asarray(a, np.float64) - b)
                / np.maximum(1e-12, np.abs(b)))
     )
+    abs_mean = float(np.max(np.abs(np.asarray(mean_tpu, np.float64) - mean64)))
     return {
-        "max_rel_err_mean": rel(mean_tpu, mean64),
+        "max_abs_err_mean": abs_mean,
+        "max_abs_err_mean_over_std_y": abs_mean / max(y_scale, 1e-12),
+        "rms_err_mean": float(np.sqrt(np.mean(
+            (np.asarray(mean_tpu, np.float64) - mean64) ** 2))),
         "max_rel_err_var": rel(var_tpu, var64),
         "max_rel_err_leaf_mll_full": rel(mll_tpu, st["mll"]),
         "rel_err_log_evidence": abs(float(z_tpu) - z64) / max(1.0, abs(z64)),
@@ -530,9 +537,10 @@ def main():
     base = cache[cache_key]
 
     # -- end-to-end f64 accuracy (when the full oracle store exists) --------
-    errs = oracle_errors(model, xt, args.n, z_tpu, mean_tpu, var_tpu, mll_tpu)
+    errs = oracle_errors(model, xt, args.n, z_tpu, mean_tpu, var_tpu, mll_tpu,
+                         y_scale=float(np.std(y)))
     if errs is not None and (
-        args.regen_baseline or "max_rel_err_mean" not in base
+        args.regen_baseline or "max_abs_err_mean" not in base
     ):
         base.update(errs)
         base["tpu_dtype"] = str(np.dtype(dtype))

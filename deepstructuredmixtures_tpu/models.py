@@ -116,6 +116,12 @@ class BaseModel:
         """Refit all leaf posteriors; returns wall-clock seconds like the
         reference ``fit!`` (``fit.jl:88,121``).
 
+        ``method='auto'`` resolves to the fresh batched factorization —
+        factor reuse loses to one batched MXU pass at every measured
+        scale (see ``fit.fit`` and BASELINE.md); ``'shared'`` runs the
+        reference's factor-reuse schedule (copy / Givens-delete /
+        delete-then-continue) for parity.
+
         ``store``: ``'full'`` caches the [L, Nmax, Nmax] factors for
         repeated prediction; ``'light'`` keeps only the leaf mlls
         (prediction then streams factor recomputation chunk-wise);
