@@ -113,6 +113,10 @@ class GaussianProcess:
         return t[: self.nl], float(t[self.nl]), float(t[self.nl + 1])
 
     def set_params(self, theta):
+        """New hypers invalidate the cached posterior; the next fit reuses
+        the last fit configuration (incl. a distributed mesh — forgetting
+        it would rebuild the full [N, N] covariance on one device, the
+        exact situation the mesh path exists to avoid)."""
         self.theta = jnp.asarray(theta, dtype=self.x.dtype)
         self._state = None
 
@@ -128,6 +132,7 @@ class GaussianProcess:
         cap). Inputs are zero-padded up to the ``num_devices * block``
         tiling automatically; prediction then runs distributed too.
         """
+        self._last_fit_cfg = (mesh, block)
         if mesh is None:
             self._state = _fit(
                 self.kernel.kind, self.nl, self.theta, self.x, self.yc
@@ -136,7 +141,8 @@ class GaussianProcess:
             return self
         from .parallel.dist_chol import sharded_gp_fit
 
-        ndev = mesh.shape[next(iter(mesh.shape))]
+        axis = next(iter(mesh.shape))  # works for any mesh axis name
+        ndev = mesh.shape[axis]
         tile = ndev * block
         npad = ((self.n + tile - 1) // tile) * tile
         xp = jnp.zeros((npad, self.d), dtype=self.x.dtype).at[: self.n].set(self.x)
@@ -145,16 +151,17 @@ class GaussianProcess:
             self.theta[: self.nl], self.theta[self.nl], self.theta[self.nl + 1]
         )
         alpha, mll, Lf = sharded_gp_fit(
-            xp, yp, logl, logsigma, lognoise, mesh, block=block,
+            xp, yp, logl, logsigma, lognoise, mesh, axis=axis, block=block,
             valid_n=self.n, kind=self.kernel.kind, return_factor=True,
         )
         self._state = (Lf, alpha, mll)
-        self._mesh = (mesh, block, xp)
+        self._mesh = (mesh, axis, block, xp)
         return self
 
     def _ensure(self):
         if self._state is None:
-            self.fit()
+            mesh, block = getattr(self, "_last_fit_cfg", (None, 256))
+            self.fit(mesh=mesh, block=block)
         return self._state
 
     def mll(self) -> float:
@@ -182,11 +189,11 @@ class GaussianProcess:
                 )
             from .parallel.dist_chol import sharded_gp_predict
 
-            mesh, block, xp = self._mesh
+            mesh, axis, block, xp = self._mesh
             return sharded_gp_predict(
                 Lf, xp, alpha,
                 self.theta[: self.nl], self.theta[self.nl],
-                self.theta[self.nl + 1], xt, mesh, block=block,
+                self.theta[self.nl + 1], xt, mesh, axis=axis, block=block,
                 mean=self.mean_value, valid_n=self.n, kind=self.kernel.kind,
             )
         return _predict(

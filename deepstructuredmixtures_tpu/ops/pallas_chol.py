@@ -210,12 +210,12 @@ def fused_gram_cholesky(x, n, logl, logsigma, noise, eps: float = 1e-8,
     g = leaves_per_program(nmax)
     Lp = ((L + g - 1) // g) * g
 
-    def padL(a, fill=0):
+    def padL(a):
         if Lp == L:
             return a
         pad_shape = (Lp - L,) + a.shape[1:]
         return jnp.concatenate(
-            [a, jnp.full(pad_shape, fill, dtype=a.dtype)], axis=0
+            [a, jnp.zeros(pad_shape, dtype=a.dtype)], axis=0
         )
 
     kern = functools.partial(_fused_kernel, nmax=nmax, eps=eps, g=g)
@@ -255,14 +255,16 @@ def fused_gram_cholesky(x, n, logl, logsigma, noise, eps: float = 1e-8,
 
 
 def supported(batch_nmax: int, dtype, kinds) -> bool:
-    """Whether the fused Pallas path applies: TPU platform, float32,
-    single-IsoSE kernel mixture, VMEM-sized leaves."""
+    """Whether the fused Pallas path applies: TPU platform (incl. the
+    'axon' single-chip tunnel), float32, single-IsoSE kernel mixture,
+    VMEM-sized leaves. A positive platform check (not merely != 'cpu'):
+    the kernel uses TPU memory spaces and would crash on GPU backends."""
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:  # pragma: no cover
         return False
     return (
-        platform != "cpu"
+        platform in ("tpu", "axon")
         and jnp.dtype(dtype) == jnp.float32
         and tuple(kinds) == ("iso_se",)
         and batch_nmax % BLOCK == 0

@@ -52,20 +52,24 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = EXPERT_AXIS) -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def _pad_rows(a, rows: int):
+    """Zero-pad a leading (leaf/row) axis up to ``rows``."""
+    pad = rows - a.shape[0]
+    if pad <= 0:
+        return a
+    z = jnp.zeros((pad,) + a.shape[1:], dtype=a.dtype)
+    return jnp.concatenate([a, z], axis=0)
+
+
 def pad_leaves(batch: LeafBatch, multiple: int) -> LeafBatch:
     """Pad the leaf axis to a multiple of the mesh size. Padding leaves are
     fully masked (identity covariance, zero targets) and are never
     referenced by the SPN plan, so they are exact no-ops."""
     L = batch.num_leaves
-    pad = (-L) % multiple
-    if pad == 0:
+    rows = L + ((-L) % multiple)
+    if rows == L:
         return batch
-
-    def pad_arr(a):
-        padding = jnp.zeros((pad,) + a.shape[1:], dtype=a.dtype)
-        return jnp.concatenate([a, padding], axis=0)
-
-    return LeafBatch(*[pad_arr(a) for a in batch])
+    return LeafBatch(*[_pad_rows(a, rows) for a in batch])
 
 
 def shard_batch(batch: LeafBatch, mesh: Mesh, axis: str = EXPERT_AXIS) -> LeafBatch:
@@ -118,14 +122,6 @@ def sharded_fit(layout, theta, batch: LeafBatch, mesh: Mesh,
         return posterior_from_chol(Lf, b)
 
     return f(theta, sbatch)
-
-
-def _pad_rows(a, rows: int):
-    pad = rows - a.shape[0]
-    if pad <= 0:
-        return a
-    z = jnp.zeros((pad,) + a.shape[1:], dtype=a.dtype)
-    return jnp.concatenate([a, z], axis=0)
 
 
 def make_sharded_routed_predict(
@@ -220,7 +216,7 @@ def sharded_bucketed_streamed_predict(
     tied = jnp.ndim(theta) == 1
     for b, ids in zip(batches, leaf_ids):
         nb = int(np.ceil(b.num_leaves / ndev)) * ndev
-        bpad = LeafBatch(*[_pad_rows(a, nb) for a in b])
+        bpad = pad_leaves(b, ndev)
         idx = jnp.asarray(ids)
         ti = _pad_rows(jnp.asarray(tidx)[idx], nb)
         tm = _pad_rows(jnp.asarray(tmask)[idx], nb)

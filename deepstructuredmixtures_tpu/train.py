@@ -265,14 +265,16 @@ def train(
     opt_state = optimizer.init(theta)
     hist = np.zeros(iterations)
     c = 0
-    it = 0
+    n_hist = 0
     bar = _Progress("train", iterations, progress)
     for it in range(iterations):
         val, new_theta, opt_state = step(theta, opt_state)
         hist[it] = float(val)
         if not np.isfinite(hist[it]):
-            # keep last finite hypers (mirrors the single-GP NaN rollback)
+            # keep last finite hypers (mirrors the single-GP NaN rollback);
+            # the non-finite value stays out of the returned history
             break
+        n_hist = it + 1
         theta = new_theta
         delta = (
             abs(hist[it] - hist[it - 10 : it - 1].mean()) if it >= 10 else np.inf
@@ -282,13 +284,12 @@ def train(
             print(f"[train] iter={it} mll={hist[it]:.4f} delta={delta:.4g}")
         c = c + 1 if delta < lam else 0
         if c >= earlystop:
-            it += 1
             break
-    bar.close(f" (stopped after {it} iterations)")
+    bar.close(f" (stopped after {n_hist} iterations)")
 
     model.set_params(theta)
     model.fit()
-    return hist[: max(it, 1)]
+    return hist[: max(n_hist, 1)]
 
 
 def train_gp(
@@ -326,7 +327,7 @@ def train_gp(
     opt_state = optimizer.init(theta)
     hist = np.zeros(iterations)
     old = theta
-    it = 0
+    n_hist = 0
     bar = _Progress("train_gp", iterations, progress)
     for it in range(iterations):
         val, new_theta, opt_state = step(theta, opt_state)
@@ -334,6 +335,7 @@ def train_gp(
         if np.isnan(hist[it]):
             theta = old  # rollback (optimisers.jl:115-119)
             break
+        n_hist = it + 1
         delta = (
             abs(hist[it] - hist[it - 10 : it - 1].mean()) if it >= 10 else np.inf
         )
@@ -341,13 +343,12 @@ def train_gp(
         old = theta
         theta = new_theta
         if delta < lam:
-            it += 1
             break
     bar.close()
 
     gp.set_params(theta)
     gp.fit()
-    return hist[: max(it, 1)]
+    return hist[: max(n_hist, 1)]
 
 
 # ---------------------------------------------------------------------------
@@ -464,7 +465,7 @@ def finetune(
         )
 
         def iteration(H, opt_state):
-            G = np.zeros(H.shape, dtype=np.asarray(H).dtype)
+            G = np.zeros(H.shape, dtype=H.dtype)
             own = np.zeros(L)
             for j in range(L):
                 mll_j, g_j = vg_one(H[j], Dd[j])
@@ -514,11 +515,12 @@ def finetune(
     opt_state = optimizer.init(H)
     hist = np.zeros(iterations)
     c = 0
-    it = 0
+    n_hist = 0
     bar = _Progress("finetune", iterations, progress)
     for it in range(iterations):
         H, opt_state, val = iteration(H, opt_state)
         hist[it] = float(val)
+        n_hist = it + 1
         delta = (
             abs(hist[it] - hist[it - 10 : it - 1].mean()) if it >= 10 else np.inf
         )
@@ -527,11 +529,10 @@ def finetune(
             print(f"[finetune] iter={it} sum-own-mll={hist[it]:.4f}")
         c = c + 1 if delta < lam else 0
         if c >= earlystop:
-            it += 1
             break
-    bar.close(f" (stopped after {it} iterations)")
+    bar.close(f" (stopped after {n_hist} iterations)")
 
     # final heterogeneous refit: each leaf with its own hypers
     model.set_params(H)
     model.fit()
-    return hist[: max(it, 1)]
+    return hist[: max(n_hist, 1)]

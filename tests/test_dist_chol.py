@@ -165,3 +165,15 @@ def test_giant_gp_model_layer_distributed_fit_predict():
     mu_s, var_s = gp_s.predict(xt)
     np.testing.assert_allclose(np.asarray(mu_d), np.asarray(mu_s), atol=1e-8)
     np.testing.assert_allclose(np.asarray(var_d), np.asarray(var_s), atol=1e-8)
+
+    # set_params must NOT silently drop the distributed configuration —
+    # the refit after a hyper change stays on the mesh (a single-device
+    # rebuild of the [N, N] covariance is exactly what the mesh avoids).
+    new_theta = np.asarray(gp_d.theta) + 0.05
+    gp_d.set_params(new_theta)
+    gp_s.set_params(new_theta)
+    mu_d2, var_d2 = gp_d.predict(xt)  # triggers the remembered-mesh refit
+    assert gp_d._mesh is not None, "distributed config lost by set_params"
+    mu_s2, var_s2 = gp_s.predict(xt)
+    np.testing.assert_allclose(np.asarray(mu_d2), np.asarray(mu_s2), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var_d2), np.asarray(var_s2), atol=1e-8)
