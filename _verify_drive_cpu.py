@@ -74,6 +74,21 @@ mu_big, var_big, _ = p.predict(np.linspace(0, 1, 57).reshape(-1, 1))  # chunked
 assert np.all(np.isfinite(mu_big))
 print("serve OK (predict, 413, chunked batch)")
 
+# high-level train on the mesh: identical trajectory
+m3 = dsm.build_dsmgp(x, y, V=2, K=2, M=25, kernel=dsm.IsoSE(0.0, 0.0), log_noise=-1.0, seed=11)
+m4 = dsm.build_dsmgp(x, y, V=2, K=2, M=25, kernel=dsm.IsoSE(0.0, 0.0), log_noise=-1.0, seed=11)
+import optax
+ha = dsm.train(m3, optax.adam(5e-2), iterations=5, lam=1e-9, randinit=False, progress=False)
+hb = dsm.train(m4, optax.adam(5e-2), iterations=5, lam=1e-9, randinit=False, progress=False, mesh=mesh)
+assert np.allclose(ha, hb, atol=1e-9)
+print("train(mesh=...) trajectory parity OK")
+
+# per-call tau rebuild (≙ fit!(model; τ))
+m3.rebuild_schedule(tau=1e-12)
+m3.fit(method="shared")
+assert np.isfinite(m3.mll())
+print("rebuild_schedule OK")
+
 # multichip dryrun (train step + sharded fit + predict parity)
 import __graft_entry__ as g
 g.dryrun_multichip(8)

@@ -190,6 +190,20 @@ class BaseModel:
         """≙ ``fit_naive!`` (``fit.jl:294-304``)."""
         return self.fit(method="batched")
 
+    def rebuild_schedule(self, tau: float = 0.05):
+        """Recompile the shared-Cholesky schedule with a new τ stability
+        threshold (≙ the reference's per-call ``fit!(model; τ)`` kwarg,
+        ``fit.jl:67,174,256`` — the schedule here is static, so a τ change
+        is an explicit cheap host-side rebuild)."""
+        from .plan import build_schedule
+
+        self.schedule = build_schedule(self.plan, tau=tau)
+        # drop fit programs compiled against the old schedule
+        self._jit_cache = {
+            k: v for k, v in self._jit_cache.items()
+            if not (isinstance(k, tuple) and k and k[0] == "fit")
+        }
+
     def _ensure_posterior(self) -> LeafPosterior:
         if self.posterior is None:
             self.fit()

@@ -214,13 +214,22 @@ def train(
     seed=None,
     verbose: bool = False,
     progress=None,
+    mesh=None,
 ):
     """Train tied hyperparameters by mll ascent (≙ ``train!``,
     ``optimisers.jl:4-87``). Mutates ``model.theta``, refits, and returns
     the mll history array.
 
     ``progress``: live single-line iteration/llh/δ display (≙ ProgressMeter,
-    ``optimisers.jl:25,54``); ``None`` auto-enables on a TTY."""
+    ``optimisers.jl:25,54``); ``None`` auto-enables on a TTY.
+
+    ``mesh``: a ``jax.sharding.Mesh`` runs every training step
+    expert-parallel across the devices (leaf factorizations sharded,
+    hypers replicated, ICI collectives for the SPN reduction — see
+    ``parallel.mesh``); identical mathematics, same history. The mesh
+    path materializes each device's [L/ndev, Nmax, Nmax] covariances at
+    once — for models past per-device memory use more devices or the
+    (single-device) per-bucket chunked path."""
     optimizer = optimizer or optax.adam(1e-3)
     layout, plan, batch = model.layout, model.plan, model.batch
     P = model.theta.shape[-1]
@@ -239,7 +248,12 @@ def train(
     per_bucket = bucketed and max(
         b.nmax for b in model.bucket_batches
     ) >= 4096
-    if per_bucket:
+    if mesh is not None:
+        from .parallel.mesh import make_sharded_mll_fn
+
+        f, _ = make_sharded_mll_fn(layout, plan, batch, mesh)
+        vg = jax.jit(jax.value_and_grad(f))
+    elif per_bucket:
         vg = make_value_and_grad_bucketed(
             layout, plan, model.bucket_batches, model.bucket_spec.leaf_ids
         )

@@ -212,6 +212,22 @@ def test_post_finetune_parity_with_derived_schedule(tmp_path):
     )
 
 
+def test_rebuild_schedule_tau():
+    """A τ change rebuilds the static schedule (≙ fit!(model; τ)): τ=0
+    disables every deletion-bearing derivation; results stay identical."""
+    m = _model_from_root(_handcrafted())
+    base_mll = m.mll()
+    derived0 = m.schedule.num_derived
+    assert derived0 >= 3
+    m.rebuild_schedule(tau=1e-12)
+    # delete case (1 interior deletion) no longer qualifies; copy and
+    # pure-prefix continue (0 deletions) survive
+    assert m.schedule.del_j.size == 0
+    assert m.schedule.num_derived < derived0
+    m.fit(method="shared")
+    assert abs(m.mll() - base_mll) < 1e-8
+
+
 def test_untied_theta_fit():
     """Per-leaf hyper matrices must be accepted by the batched engine."""
     m = dsm.build_dsmgp(X, Y, V=2, K=2, M=10, kernel=dsm.IsoSE(0.0, 0.0),

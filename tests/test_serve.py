@@ -80,6 +80,23 @@ def test_http_endpoint_roundtrip():
         server.shutdown()
 
 
+def test_predictor_over_streamed_light_store():
+    """Serving a large model (light store: factors never persist, routed
+    prediction streams per bucket) must agree with the cached-factor
+    path."""
+    m = _model()
+    m.fit(store="light")
+    assert m.posterior.chol is None  # streamed predict path active
+    p = Predictor(m, warm_sizes=(16,), warm=True)
+    xt = np.linspace(0, 1, 23).reshape(-1, 1)
+    mean_p, var_p, _ = p.predict(xt)
+    m2 = _model()
+    m2.fit(store="full")
+    mean_d, var_d = m2.predict(xt)
+    np.testing.assert_allclose(mean_p, np.asarray(mean_d), atol=1e-9)
+    np.testing.assert_allclose(var_p, np.asarray(var_d), atol=1e-9)
+
+
 def test_oversized_body_rejected_and_big_batches_chunked():
     m = _model()
     p = Predictor(m, warm_sizes=(16,), warm=True)

@@ -138,6 +138,21 @@ def test_sharded_streamed_bucketed_predict_matches_local():
     np.testing.assert_allclose(np.asarray(var_s2), np.asarray(var_l2), atol=1e-10)
 
 
+def test_train_with_mesh_matches_single_device():
+    """dsm.train(model, mesh=...) — the high-level training API on the
+    expert mesh — must produce the identical optimization trajectory."""
+    m1 = _model(seed=9)
+    m2 = _model(seed=9)
+    mesh = make_mesh(8)
+    h1 = dsm.train(m1, optax.adam(5e-2), iterations=6, lam=1e-9,
+                   randinit=False, progress=False)
+    h2 = dsm.train(m2, optax.adam(5e-2), iterations=6, lam=1e-9,
+                   randinit=False, progress=False, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(m1.theta), np.asarray(m2.theta),
+                               atol=1e-9)
+
+
 def test_batch_actually_sharded():
     m = _model()
     mesh = make_mesh(8)
