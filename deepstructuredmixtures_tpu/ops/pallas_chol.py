@@ -53,11 +53,16 @@ MAX_VMEM_N = 1024
 
 
 def leaves_per_program(nmax: int) -> int:
-    """How many leaves one grid program stacks: bounded by VMEM residency
-    of the [G, N, N] working set (~8 MiB of factors; gram temporaries and
-    panel tiles are built per leaf / per panel-column chunk, so they stay
-    [N, N] / [G, N, B]) inside the ~16 MiB VMEM budget."""
-    return max(1, min(8, (8 << 20) // (nmax * nmax * 4)))
+    """How many leaves one grid program stacks: bounded by VMEM residency.
+
+    The per-program working set is the [G, N, N] output block plus ~2 N²
+    floats of per-leaf gram temporaries (d2/cross live briefly per
+    unrolled leaf) plus [G, N, B] panel tiles. Mosaic's scoped-vmem limit
+    is 16 MiB; compile-measured on v5e: N=512 G=8 OK, N=640 G=5 OK,
+    N=1024 G=2 OOM at 21.05 MiB — hence the explicit 2 N² headroom term
+    rather than a flat budget."""
+    b = nmax * nmax * 4
+    return max(1, min(8, ((13 << 20) - 2 * b) // b))
 
 
 def _fused_kernel(n_ref, logl_ref, logsigma_ref, noise_ref, x_ref, out_ref,
