@@ -93,15 +93,15 @@ class BaseModel:
         return stats(self.root)
 
     # -- fitting ------------------------------------------------------------
-    def _fit_fn(self, method, safe):
-        key = ("fit", method, safe)
+    def _fit_fn(self, method, safe, chunk=None):
+        key = ("fit", method, safe, chunk)
         if key not in self._jit_cache:
             layout, schedule = self.layout, self.schedule
 
             def f(theta, batch):
                 return fitlib.fit(
                     layout, theta, batch, schedule=schedule, method=method,
-                    safe=safe, with_diagnostics=True,
+                    chunk=chunk, safe=safe, with_diagnostics=True,
                 )
 
             self._jit_cache[key] = jax.jit(f)
@@ -165,7 +165,7 @@ class BaseModel:
             self.last_fit_diagnostics = {"delete_fallbacks": 0,
                                          "continue_fallbacks": 0}
         else:
-            post, (dfb, cfb) = self._fit_fn(method, safe)(
+            post, (dfb, cfb) = self._fit_fn(method, safe, chunk)(
                 self.theta, self.batch
             )
             # ≙ the reference's @warn + refactorize on failed derived

@@ -24,6 +24,12 @@ CASES = [
                               dsm.ArdLinear([0.2, -0.2])], True),
     (6, 200, 1, 4, 2, 12, 2, dsm.IsoSE(0.5, -0.5), True),
     (7, 350, 1, 2, 4, 30, 3, dsm.IsoSE(-0.5, 0.3), True),
+    # deep 1-D tree with many head-overlapping leaf pairs — exercises the
+    # generalized delete-then-continue schedule entries at depth
+    (8, 400, 1, 3, 4, 15, 3, dsm.IsoSE(-0.2, 0.1), True),
+    # 4-D kernel mixture (ARD SE + ARD Linear)
+    (9, 330, 4, 2, 2, 30, 2, [dsm.ArdSE([0.0, 0.1, -0.1, 0.2], 0.0),
+                              dsm.ArdLinear([0.2, -0.2, 0.0, 0.1])], True),
 ]
 
 

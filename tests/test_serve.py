@@ -80,6 +80,17 @@ def test_http_endpoint_roundtrip():
         server.shutdown()
 
 
+def test_predictor_auto_caches_factors():
+    """The default predictor upgrades a light-store model to cached
+    factors when they fit the serving budget (latency: cached routed
+    solve vs full streamed refit per request)."""
+    m = _model()
+    m.fit(store="light")
+    assert m.posterior.chol is None
+    Predictor(m, warm_sizes=(16,), warm=True)  # auto store
+    assert m.posterior.chol is not None
+
+
 def test_predictor_over_streamed_light_store():
     """Serving a large model (light store: factors never persist, routed
     prediction streams per bucket) must agree with the cached-factor
@@ -87,7 +98,10 @@ def test_predictor_over_streamed_light_store():
     m = _model()
     m.fit(store="light")
     assert m.posterior.chol is None  # streamed predict path active
-    p = Predictor(m, warm_sizes=(16,), warm=True)
+    # factor_budget=0 keeps the predictor on the streamed path (by
+    # default it upgrades to cached factors whenever they fit the budget)
+    p = Predictor(m, warm_sizes=(16,), warm=True, factor_budget=0)
+    assert m.posterior.chol is None
     xt = np.linspace(0, 1, 23).reshape(-1, 1)
     mean_p, var_p, _ = p.predict(xt)
     m2 = _model()
