@@ -425,11 +425,13 @@ class RBCM(BaseModel):
         xt = self._as_test(xt)
         mu, var = self._leaf_predict_all(xt)
         # Prior variance of the first (leftmost) leaf GP
-        # (≙ leftGP + kernelmatrix diag + noise, common.jl:227-228).
+        # (≙ leftGP + kernelmatrix diag + noise, common.jl:227-228);
+        # under per-leaf (finetuned) hypers that is leaf 0's row.
         from .hyper import unpack, noise_from
 
         kid = int(self.plan.leaf_kernelid[0])
-        logl, logsigma, lognoise = unpack(self.layout, self.theta, kid)
+        t = self.theta if self.theta.ndim == 1 else self.theta[0]
+        logl, logsigma, lognoise = unpack(self.layout, t, kid)
         prior = gram_diag(self.layout.kinds[kid], logl, logsigma, xt) + noise_from(
             lognoise
         )

@@ -102,6 +102,21 @@ def test_finetune_improves_and_unties():
     )
 
 
+def test_finetuned_poe_family_predicts():
+    """PoE/gPoE/rBCM predict after finetune (untied per-leaf hypers) —
+    rBCM's prior variance must come from leaf 0's own row (≙ leftGP)."""
+    for builder, kw in ((dsm.build_poe, {}),
+                        (dsm.build_poe, {"generalized": True}),
+                        (dsm.build_bcm, {})):
+        p = builder(X, Y, K=3, M=25, kernel=dsm.IsoSE(0.0, 0.0),
+                    log_noise=-1.0, seed=12, **kw)
+        dsm.finetune(p, optax.adam(1e-2), iterations=3, lam=1e-9)
+        assert p.theta.ndim == 2
+        mu, var = p.predict(np.linspace(0, 1, 21).reshape(-1, 1))
+        assert np.all(np.isfinite(np.asarray(mu)))
+        assert np.all(np.asarray(var) > 0)
+
+
 def test_train_poe_models():
     p = dsm.build_poe(X, Y, K=3, M=20, kernel=dsm.IsoSE(0.0, 0.0),
                       log_noise=-1.0, seed=10)
