@@ -266,7 +266,10 @@ def run_oracle_chunk(model, x, y, xt, start: int, count: int, n: int):
         st["mu"][l] = mu
         st["var"][l] = var
         st["done"][l] = True
-    np.savez(path, **st)
+    # atomic write: a kill mid-savez must not corrupt hours of oracle work
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **st)
+    os.replace(tmp, path)
     ndone = int(st["done"].sum())
     print(f"oracle: {ndone}/{L} leaves done "
           f"(+{end - start} in {time.perf_counter() - t0:.1f}s)")

@@ -392,16 +392,19 @@ def _bucket_chunk(nmax: int, n_leaves: int, dtype,
 
 
 def bucketed_leaf_mlls(layout: HyperLayout, theta, batches, leaf_ids, L,
-                       budget: int = 2 << 30, remat: bool = False):
-    """All leaf mlls [L] computed bucket-by-bucket (each bucket chunked to
-    the memory budget). ``theta`` tied [P] or per-leaf [L, P]."""
+                       budget: int = 2 << 30, chunk: Optional[int] = None):
+    """All leaf mlls [L] computed bucket-by-bucket. ``theta`` tied [P] or
+    per-leaf [L, P]. ``chunk`` overrides the budget-derived per-bucket
+    leaf-chunk (an explicit memory bound from the caller)."""
     from .train import leaf_mlls_fn  # chunked + rematerialized helper
 
     mll = jnp.zeros((L,), dtype=batches[0].x.dtype)
     for b, ids in zip(batches, leaf_ids):
         th = theta if theta.ndim == 1 else theta[jnp.asarray(ids)]
-        chunk = _bucket_chunk(b.nmax, b.num_leaves, b.x.dtype, budget)
-        f = leaf_mlls_fn(layout, b, chunk if chunk < b.num_leaves else None)
+        c = chunk if chunk is not None else _bucket_chunk(
+            b.nmax, b.num_leaves, b.x.dtype, budget
+        )
+        f = leaf_mlls_fn(layout, b, c if c < b.num_leaves else None)
         mll = mll.at[jnp.asarray(ids)].set(f(th))
     return mll
 

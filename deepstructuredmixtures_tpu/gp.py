@@ -170,7 +170,17 @@ class GaussianProcess:
 
     def grad_mll(self):
         """Exact gradient of the mll w.r.t. the log-parameter vector
-        (autodiff; replaces ``∇mll!``, ``gaussianprocess.jl:192-217``)."""
+        (autodiff; replaces ``∇mll!``, ``gaussianprocess.jl:192-217``).
+
+        Single-device only: raises on a mesh-fitted GP rather than
+        silently rebuilding the full [N, N] covariance on one chip (the
+        exact OOM ``fit(mesh=...)`` exists to avoid)."""
+        if getattr(self, "_mesh", None) is not None:
+            raise NotImplementedError(
+                "hyper-gradients are single-device only; for a mesh-fitted "
+                "GP, train hypers on a subsample (or a single-device-sized "
+                "model) and refit distributed with fit(mesh=...)"
+            )
         return _grad_mll(self.kernel.kind, self.nl, self.theta, self.x, self.yc)
 
     def predict(self, xt, full_cov: bool = False):

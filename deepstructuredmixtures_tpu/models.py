@@ -157,7 +157,9 @@ class BaseModel:
                 layout, ids, L = self.layout, self.bucket_spec.leaf_ids, self.num_leaves
 
                 def f(th, batches):
-                    mll = fitlib.bucketed_leaf_mlls(layout, th, batches, ids, L)
+                    mll = fitlib.bucketed_leaf_mlls(
+                        layout, th, batches, ids, L, chunk=chunk
+                    )
                     return LeafPosterior(None, None, mll)
 
                 self._jit_cache[key] = jax.jit(f)

@@ -212,6 +212,11 @@ def fused_gram_cholesky(x, n, logl, logsigma, noise, eps: float = 1e-8,
     L, nmax, d = x.shape
     if nmax % BLOCK != 0:
         raise ValueError(f"nmax must be a multiple of {BLOCK}, got {nmax}")
+    if nmax > MAX_VMEM_N:
+        raise ValueError(
+            f"nmax={nmax} exceeds the VMEM-residency limit {MAX_VMEM_N}; "
+            "use the XLA path (see supported())"
+        )
     g = leaves_per_program(nmax)
     Lp = ((L + g - 1) // g) * g
 

@@ -25,7 +25,7 @@ cancellation argument as ``ops/cholesky.py``).
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +40,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import EXPERT_AXIS
 
 HIGH = jax.lax.Precision.HIGHEST
+
+# Program factories below are lru_cached on their static configuration
+# (mesh, axis, blocking, sizes): repeated calls — e.g. a mesh-fitted
+# GaussianProcess serving predict() — reuse one traced+compiled program
+# instead of re-tracing the whole blocked fori_loop pipeline per call.
 
 
 def _check_blocking(N: int, ndev: int, block: int):
@@ -130,10 +135,17 @@ def sharded_cholesky(A, mesh: Mesh, axis: str = EXPERT_AXIS, block: int = 256):
     N = A.shape[0]
     ndev = mesh.shape[axis]
     rows, block = _check_blocking(N, ndev, block)
-    nsteps = N // block
+    run = _cholesky_prog(mesh, axis, block, rows, N)
+    A = jax.device_put(A, NamedSharding(mesh, P(axis, None)))
+    return run(A)
 
+
+@lru_cache(maxsize=64)
+def _cholesky_prog(mesh: Mesh, axis: str, block: int, rows: int, N: int):
+    nsteps = N // block
     spec = P(axis, None)
 
+    @jax.jit
     @partial(
         shard_map,
         mesh=mesh,
@@ -157,8 +169,7 @@ def sharded_cholesky(A, mesh: Mesh, axis: str = EXPERT_AXIS, block: int = 256):
         cj = lax.broadcasted_iota(jnp.int32, (1, A_loc.shape[1]), 1)
         return jnp.where(cj <= gri, Ldone, 0.0)
 
-    A = jax.device_put(A, NamedSharding(mesh, spec))
-    return run(A)
+    return run
 
 
 def sharded_solve_lower(Lf, b, mesh: Mesh, axis: str = EXPERT_AXIS,
@@ -175,18 +186,28 @@ def sharded_solve_lower(Lf, b, mesh: Mesh, axis: str = EXPERT_AXIS,
     N = Lf.shape[0]
     ndev = mesh.shape[axis]
     rows, block = _check_blocking(N, ndev, block)
-    nsteps = N // block
     vec = b.ndim == 1
     B2 = b[:, None] if vec else b
     T = B2.shape[1]
-    spec = P(axis, None)
-    vspec = P(axis, None)
+    run = _solve_lower_prog(mesh, axis, block, rows, N, T)
+    Lf = jax.device_put(Lf, NamedSharding(mesh, P(axis, None)))
+    B2 = jax.device_put(B2, NamedSharding(mesh, P(axis, None)))
+    out = run(Lf, B2)
+    return out[:, 0] if vec else out
 
+
+@lru_cache(maxsize=64)
+def _solve_lower_prog(mesh: Mesh, axis: str, block: int, rows: int,
+                      N: int, T: int):
+    nsteps = N // block
+    spec = P(axis, None)
+
+    @jax.jit
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(spec, vspec),
-        out_specs=vspec,
+        in_specs=(spec, spec),
+        out_specs=spec,
         check_vma=False,
     )
     def run(L_loc, b_loc):
@@ -230,10 +251,7 @@ def sharded_solve_lower(Lf, b, mesh: Mesh, axis: str = EXPERT_AXIS,
         )
         return x_loc
 
-    Lf = jax.device_put(Lf, NamedSharding(mesh, spec))
-    B2 = jax.device_put(B2, NamedSharding(mesh, vspec))
-    out = run(Lf, B2)
-    return out[:, 0] if vec else out
+    return run
 
 
 def sharded_solve_lower_t(Lf, z, mesh: Mesh, axis: str = EXPERT_AXIS,
@@ -246,10 +264,19 @@ def sharded_solve_lower_t(Lf, z, mesh: Mesh, axis: str = EXPERT_AXIS,
     N = Lf.shape[0]
     ndev = mesh.shape[axis]
     rows, block = _check_blocking(N, ndev, block)
+    run = _solve_lower_t_prog(mesh, axis, block, rows, N)
+    Lf = jax.device_put(Lf, NamedSharding(mesh, P(axis, None)))
+    z = jax.device_put(z, NamedSharding(mesh, P(axis)))
+    return run(Lf, z)
+
+
+@lru_cache(maxsize=64)
+def _solve_lower_t_prog(mesh: Mesh, axis: str, block: int, rows: int, N: int):
     nsteps = N // block
     spec = P(axis, None)
     vspec = P(axis)
 
+    @jax.jit
     @partial(
         shard_map,
         mesh=mesh,
@@ -292,9 +319,43 @@ def sharded_solve_lower_t(Lf, z, mesh: Mesh, axis: str = EXPERT_AXIS,
 
         return lax.fori_loop(0, nsteps, body, jnp.zeros_like(z_loc))
 
-    Lf = jax.device_put(Lf, NamedSharding(mesh, spec))
-    z = jax.device_put(z, NamedSharding(mesh, vspec))
-    return run(Lf, z)
+    return run
+
+
+@lru_cache(maxsize=64)
+def _gram_rows_prog(mesh: Mesh, axis: str, kind: str, N: int, valid_n: int,
+                    eps: float):
+    """Row-sharded noisy gram with identity padding past ``valid_n``.
+    Hypers are ARGUMENTS (replicated specs), not closure constants, so the
+    cached program stays correct across ``set_params`` refits."""
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None, None), P(), P(), P()),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )
+    def run(x_rows, x_all, logl, logsigma, lognoise):
+        # shard-local block of the gram — same kernel function as the
+        # single-chip path (kernels.gram), so precision/jitter fixes there
+        # automatically reach the distributed path.
+        from ..kernels import gram
+
+        K = gram(kind, logl, logsigma, x_rows, x_all)
+        me = lax.axis_index(axis)
+        rows = x_rows.shape[0]
+        gri = me * rows + lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        cj = lax.broadcasted_iota(jnp.int32, (1, N), 1)
+        noise = jnp.exp(2.0 * lognoise) + eps
+        Kn = K + noise * (cj == gri)
+        # identity-pad rows/cols past valid_n (exact no-ops downstream,
+        # same convention as ops.cholesky.pad_identity)
+        valid = (gri < valid_n) & (cj < valid_n)
+        return jnp.where(valid, Kn, (cj == gri).astype(Kn.dtype))
+
+    return run
 
 
 def sharded_gp_fit(x, y, logl, logsigma, lognoise, mesh: Mesh,
@@ -318,37 +379,11 @@ def sharded_gp_fit(x, y, logl, logsigma, lognoise, mesh: Mesh,
     """
     N = x.shape[0]
     valid_n = N if valid_n is None else int(valid_n)
-    spec = P(axis, None)
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(axis, None), P(None, None)),
-        out_specs=spec,
-        check_vma=False,
-    )
-    def gram_rows(x_rows, x_all):
-        # shard-local block of the gram — same kernel function as the
-        # single-chip path (kernels.gram), so precision/jitter fixes there
-        # automatically reach the distributed path.
-        from ..kernels import gram
-
-        K = gram(kind, jnp.atleast_1d(jnp.asarray(logl)),
-                 jnp.asarray(logsigma), x_rows, x_all)
-        me = lax.axis_index(axis)
-        rows = x_rows.shape[0]
-        gri = me * rows + lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-        cj = lax.broadcasted_iota(jnp.int32, (1, N), 1)
-        noise = jnp.exp(2.0 * lognoise) + eps
-        Kn = K + noise * (cj == gri)
-        # identity-pad rows/cols past valid_n (exact no-ops downstream,
-        # same convention as ops.cholesky.pad_identity)
-        valid = (gri < valid_n) & (cj < valid_n)
-        return jnp.where(valid, Kn, (cj == gri).astype(Kn.dtype))
-
+    gram_rows = _gram_rows_prog(mesh, axis, kind, N, valid_n, eps)
     xs = jax.device_put(x, NamedSharding(mesh, P(axis, None)))
     y = jnp.where(jnp.arange(N) < valid_n, y, 0.0)
-    K = gram_rows(xs, x)
+    K = gram_rows(xs, x, jnp.atleast_1d(jnp.asarray(logl)),
+                  jnp.asarray(logsigma), jnp.asarray(lognoise))
     Lf = sharded_cholesky(K, mesh, axis=axis, block=block)
     z = sharded_solve_lower(Lf, y, mesh, axis=axis, block=block)
     alpha = sharded_solve_lower_t(Lf, z, mesh, axis=axis, block=block)
@@ -366,6 +401,30 @@ def sharded_gp_fit(x, y, logl, logsigma, lognoise, mesh: Mesh,
     return alpha, mll
 
 
+@lru_cache(maxsize=64)
+def _cross_rows_prog(mesh: Mesh, axis: str, kind: str, valid_n: int):
+    """Row-sharded cross-covariance K_nt with padding rows zeroed; hypers
+    as replicated arguments (cache-safe across refits)."""
+    from ..kernels import gram
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None, None), P(), P()),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )
+    def run(x_rows, xt_all, logl, logsigma):
+        Knt = gram(kind, logl, logsigma, x_rows, xt_all)
+        me = lax.axis_index(axis)
+        rows = x_rows.shape[0]
+        gri = me * rows + lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        return jnp.where(gri < valid_n, Knt, 0.0)  # padding rows inert
+
+    return run
+
+
 def sharded_gp_predict(Lf, x, alpha, logl, logsigma, lognoise, xt,
                        mesh: Mesh, axis: str = EXPERT_AXIS,
                        block: int = 256, mean: float = 0.0, valid_n=None,
@@ -380,23 +439,9 @@ def sharded_gp_predict(Lf, x, alpha, logl, logsigma, lognoise, xt,
     N = x.shape[0]
     valid_n = N if valid_n is None else int(valid_n)
     logl_v = jnp.atleast_1d(jnp.asarray(logl))
-
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(axis, None), P(None, None)),
-        out_specs=P(axis, None),
-        check_vma=False,
-    )
-    def cross_rows(x_rows, xt_all):
-        Knt = gram(kind, logl_v, jnp.asarray(logsigma), x_rows, xt_all)
-        me = lax.axis_index(axis)
-        rows = x_rows.shape[0]
-        gri = me * rows + lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-        return jnp.where(gri < valid_n, Knt, 0.0)  # padding rows inert
-
+    cross_rows = _cross_rows_prog(mesh, axis, kind, valid_n)
     xs = jax.device_put(x, NamedSharding(mesh, P(axis, None)))
-    Knt = cross_rows(xs, xt)  # [N, T] row-sharded
+    Knt = cross_rows(xs, xt, logl_v, jnp.asarray(logsigma))  # [N, T] sharded
     mu = mean + jnp.matmul(Knt.T, alpha, precision=HIGH)
     V = sharded_solve_lower(Lf, Knt, mesh, axis=axis, block=block)  # [N, T]
     ktt = gram_diag(kind, logl_v, jnp.asarray(logsigma), xt)

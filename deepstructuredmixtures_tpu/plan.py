@@ -413,7 +413,10 @@ def _share_case(oj: np.ndarray, oi: np.ndarray, tau: float):
     # delete at r only corrects rows > r) — drop them.
     dels = np.where(~member)[0]
     dels = dels[dels < keep[-1]]
-    if dels.size >= tau * oj.size:  # τ stability guard (fit.jl:174,256)
+    # τ gates only DELETION-BEARING derivations (fit.jl:174,256 caps the
+    # Givens update count); zero-deletion copies and pure prefix
+    # extensions derive at any τ, including τ=0.
+    if dels.size and dels.size >= tau * oj.size:
         return None
     if k == oj.size:
         if dels.size == 0 and keep.size == oi.size:

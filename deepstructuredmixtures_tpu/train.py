@@ -149,6 +149,26 @@ def make_mll_fn_bucketed(layout, plan: SPNPlan, batches, leaf_ids,
     return f
 
 
+def _build_bucket_fns(layout, batches, leaf_ids, budget: int):
+    """Per-bucket jitted (forward leaf-mlls, cotangent-VJP) program pairs +
+    index arrays — the shared scaffolding of the bucketed training and
+    finetune paths (one small compiled program per size bucket; the
+    cotangent of the VJP is whatever per-leaf weighting the caller needs).
+    """
+    from .fit import _bucket_chunk
+
+    fwd_fns, vg_fns, idx = [], [], []
+    for b, ids in zip(batches, leaf_ids):
+        chunk = _bucket_chunk(b.nmax, b.num_leaves, b.x.dtype, budget)
+        f = leaf_mlls_fn(layout, b, chunk if chunk < b.num_leaves else None)
+        fwd_fns.append(jax.jit(f))
+        vg_fns.append(
+            jax.jit(jax.grad(lambda theta, rw, f=f: jnp.vdot(rw, f(theta))))
+        )
+        idx.append(jnp.asarray(ids))
+    return fwd_fns, vg_fns, idx
+
+
 def make_value_and_grad_bucketed(layout, plan: SPNPlan, batches, leaf_ids,
                                  budget: int = 2 << 30):
     """Exact ``theta -> (root mll, grad)`` with ONE compiled program per
@@ -164,21 +184,8 @@ def make_value_and_grad_bucketed(layout, plan: SPNPlan, batches, leaf_ids,
     (2) responsibilities from the tiny SPN pass, (3) per-bucket VJP of
     ``r_b · mll_b(θ)`` — each its own small program.
     """
-    from .fit import _bucket_chunk
-
     L = plan.num_leaves
-    fwd_fns, vg_fns, idx = [], [], []
-    for b, ids in zip(batches, leaf_ids):
-        chunk = _bucket_chunk(b.nmax, b.num_leaves, b.x.dtype, budget)
-        f = leaf_mlls_fn(layout, b,
-                         chunk if chunk < b.num_leaves else None)
-        fwd_fns.append(jax.jit(f))
-        vg_fns.append(
-            jax.jit(
-                jax.grad(lambda theta, r_b, f=f: jnp.vdot(r_b, f(theta)))
-            )
-        )
-        idx.append(jnp.asarray(ids))
+    fwd_fns, vg_fns, idx = _build_bucket_fns(layout, batches, leaf_ids, budget)
 
     root_fn = jax.jit(lambda mll: inferlib.root_mll(plan, mll))
     resp_fn = jax.jit(lambda mll: inferlib.leaf_responsibilities(plan, mll))
@@ -249,6 +256,18 @@ def train(
         b.nmax for b in model.bucket_batches
     ) >= 4096
     if mesh is not None:
+        if theta.ndim != 1:
+            raise ValueError(
+                "train(mesh=...) requires tied hypers (theta 1-D); the "
+                "sharded batch is padded past the leaf count, which a "
+                "per-leaf theta matrix cannot follow — train untied "
+                "models on the single-device per-bucket path"
+            )
+        if chunk is not None:
+            raise ValueError(
+                "train(mesh=...) does not chunk (each device holds its "
+                "shard's covariances at once); drop chunk= or drop mesh="
+            )
         from .parallel.mesh import make_sharded_mll_fn
 
         f, _ = make_sharded_mll_fn(layout, plan, batch, mesh)
@@ -286,7 +305,8 @@ def train(
         hist[it] = float(val)
         if not np.isfinite(hist[it]):
             # keep last finite hypers (mirrors the single-GP NaN rollback);
-            # the non-finite value stays out of the returned history
+            # n_hist is not advanced, so the non-finite value stays out of
+            # the returned history (possibly leaving it empty)
             break
         n_hist = it + 1
         theta = new_theta
@@ -303,7 +323,7 @@ def train(
 
     model.set_params(theta)
     model.fit()
-    return hist[: max(n_hist, 1)]
+    return hist[:n_hist]
 
 
 def train_gp(
@@ -316,7 +336,14 @@ def train_gp(
     progress=None,
 ):
     """Train a standalone exact GP (≙ single-GP ``train!``,
-    ``optimisers.jl:89-145``) with NaN rollback."""
+    ``optimisers.jl:89-145``) with NaN rollback. Single-device only (see
+    ``GaussianProcess.grad_mll``)."""
+    if getattr(gp, "_mesh", None) is not None:
+        raise NotImplementedError(
+            "train_gp is single-device only; a mesh-fitted GP's [N, N] "
+            "covariance cannot be rebuilt on one chip for the gradient — "
+            "train hypers at single-device scale, then fit(mesh=...)"
+        )
     optimizer = optimizer or optax.rmsprop(1e-3)
     rng = np.random.default_rng(seed)
     theta = (
@@ -362,7 +389,7 @@ def train_gp(
 
     gp.set_params(theta)
     gp.fit()
-    return hist[: max(n_hist, 1)]
+    return hist[:n_hist]
 
 
 # ---------------------------------------------------------------------------
@@ -394,18 +421,8 @@ def make_finetune_vg_bucketed(layout, plan: SPNPlan, batches, leaf_ids,
     ``_weighted_root_mll``, ≙ ``optimize.jl:92-150``), so it decomposes
     into one small VJP per bucket with cotangent ``resp · w``.
     """
-    from .fit import _bucket_chunk
-
     L = plan.num_leaves
-    fwd_fns, vg_fns, idx = [], [], []
-    for b, ids in zip(batches, leaf_ids):
-        chunk = _bucket_chunk(b.nmax, b.num_leaves, b.x.dtype, budget)
-        f = leaf_mlls_fn(layout, b, chunk if chunk < b.num_leaves else None)
-        fwd_fns.append(jax.jit(f))
-        vg_fns.append(
-            jax.jit(jax.grad(lambda th, rw, f=f: jnp.vdot(rw, f(th))))
-        )
-        idx.append(jnp.asarray(ids))
+    fwd_fns, vg_fns, idx = _build_bucket_fns(layout, batches, leaf_ids, budget)
     resp_fn = jax.jit(lambda mll: inferlib.leaf_responsibilities(plan, mll))
 
     def vg(theta_j, w):
@@ -549,4 +566,4 @@ def finetune(
     # final heterogeneous refit: each leaf with its own hypers
     model.set_params(H)
     model.fit()
-    return hist[: max(n_hist, 1)]
+    return hist[:n_hist]
