@@ -121,7 +121,7 @@ class GaussianProcess:
         self._state = None
 
     # -- fitting / inference ----------------------------------------------
-    def fit(self, mesh=None, block: int = 256):
+    def fit(self, mesh=None, block: int = 256, axis: Optional[str] = None):
         """≙ ``update_cholesky!`` (``gaussianprocess.jl:87-108``).
 
         ``mesh``: a ``jax.sharding.Mesh`` routes the fit through the
@@ -131,8 +131,13 @@ class GaussianProcess:
         reference caps experts at one host's memory; this removes the
         cap). Inputs are zero-padded up to the ``num_devices * block``
         tiling automatically; prediction then runs distributed too.
+
+        ``axis``: the mesh axis to shard over. The blocked factorization
+        parallelizes over exactly ONE axis; on a multi-axis mesh it must
+        be named explicitly (sharding over one axis of several leaves the
+        rest idle — prefer a 1-D mesh over all devices).
         """
-        self._last_fit_cfg = (mesh, block)
+        self._last_fit_cfg = (mesh, block, axis)
         if mesh is None:
             self._state = _fit(
                 self.kernel.kind, self.nl, self.theta, self.x, self.yc
@@ -141,7 +146,15 @@ class GaussianProcess:
             return self
         from .parallel.dist_chol import sharded_gp_fit
 
-        axis = next(iter(mesh.shape))  # works for any mesh axis name
+        if axis is None:
+            if len(mesh.shape) > 1:
+                raise ValueError(
+                    "fit(mesh=...) shards over a single mesh axis; this "
+                    f"mesh has axes {tuple(mesh.shape)} — pass axis='name' "
+                    "explicitly (the other axes stay UNUSED), or build a "
+                    "1-D mesh over all devices"
+                )
+            axis = next(iter(mesh.shape))
         ndev = mesh.shape[axis]
         tile = ndev * block
         npad = ((self.n + tile - 1) // tile) * tile
@@ -160,8 +173,8 @@ class GaussianProcess:
 
     def _ensure(self):
         if self._state is None:
-            mesh, block = getattr(self, "_last_fit_cfg", (None, 256))
-            self.fit(mesh=mesh, block=block)
+            mesh, block, axis = getattr(self, "_last_fit_cfg", (None, 256, None))
+            self.fit(mesh=mesh, block=block, axis=axis)
         return self._state
 
     def mll(self) -> float:

@@ -117,11 +117,34 @@ def gram(kind: str, logl, logsigma, x1, x2):
         inv_l2 = jnp.exp(-2.0 * logl[0])
         return jnp.exp(2.0 * logsigma) * jnp.exp(-0.5 * r2 * inv_l2)
     if kind == KIND_ARD_SE:
-        # Additive over dimensions (see module docstring).
-        diff2 = (x1[:, None, :] - x2[None, :, :]) ** 2  # [N, M, D]
+        # Additive over dimensions (see module docstring), accumulated one
+        # dimension at a time: the obvious [N, M, D] difference tensor is
+        # 4-30 GiB per leaf at benchmark sizes (n≈8-17k, D>=4) and would
+        # blow the 2 GiB streaming budget; the additive form sums
+        # independent per-dim [N, M] terms, so peak memory stays O(N*M)
+        # and XLA fuses the whole accumulation into one elementwise loop.
+        # (≙ the reference's per-dim kappa accumulation, kernels.jl:39-49.)
         inv_l2 = jnp.exp(-2.0 * logl)  # [D]
-        terms = jnp.exp(-0.5 * diff2 * inv_l2)
-        return jnp.exp(2.0 * logsigma) * jnp.sum(terms, axis=-1)
+        d = x1.shape[-1]
+        if d <= 32:  # unrolled: best fusion, D is small in practice
+            acc = None
+            for k in range(d):
+                diff = x1[:, k, None] - x2[None, :, k]  # [N, M]
+                term = jnp.exp(-0.5 * (diff * diff) * inv_l2[k])
+                acc = term if acc is None else acc + term
+        else:  # very high-D: scan over the dim axis (same O(N*M) peak)
+            x1t = jnp.moveaxis(x1, -1, 0)  # [D, N]
+            x2t = jnp.moveaxis(x2, -1, 0)  # [D, M]
+            ilt = jnp.moveaxis(inv_l2, -1, 0)
+
+            def body(acc, args):
+                a, b, il = args
+                diff = a[:, None] - b[None, :]
+                return acc + jnp.exp(-0.5 * (diff * diff) * il), None
+
+            init = jnp.zeros((x1.shape[-2], x2.shape[-2]), dtype=x1.dtype)
+            acc, _ = jax.lax.scan(body, init, (x1t, x2t, ilt))
+        return jnp.exp(2.0 * logsigma) * acc
     if kind == KIND_ISO_LINEAR:
         # kappa(z) = z / exp(2 logl), z = <x, x'> (kernels.jl:189,194 with
         # the IsoKernel l = lengthscale^2 convention at kernels.jl:22).

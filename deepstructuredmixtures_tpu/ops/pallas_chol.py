@@ -59,10 +59,13 @@ def leaves_per_program(nmax: int) -> int:
     floats of per-leaf gram temporaries (d2/cross live briefly per
     unrolled leaf) plus [G, N, B] panel tiles. Mosaic's scoped-vmem limit
     is 16 MiB; compile-measured on v5e: N=512 G=8 OK, N=640 G=5 OK,
-    N=1024 G=2 OOM at 21.05 MiB — hence the explicit 2 N² headroom term
-    rather than a flat budget."""
+    N=1024 G=2 OOM at 21.05 MiB. The 11.5 MiB budget constant is the
+    largest that reproduces ALL measured anchors (G=8@512, G=5@640,
+    G=1@1024) — a 13 MiB budget would predict G=6 at N=640, which was
+    never compile-verified; intermediate multiples of 128 stay on the
+    conservative side of the verified points."""
     b = nmax * nmax * 4
-    return max(1, min(8, ((13 << 20) - 2 * b) // b))
+    return max(1, min(8, ((23 << 19) - 2 * b) // b))
 
 
 def _fused_kernel(n_ref, logl_ref, logsigma_ref, noise_ref, x_ref, out_ref,

@@ -38,6 +38,14 @@ class Predictor:
     ``warm_sizes``: test-batch size classes (rows) to pre-compile; incoming
     requests are padded up to the nearest class (and the padding stripped
     from the response), so request latency never includes XLA compilation.
+
+    ``store`` / ``factor_budget``: with the default ``store='auto'`` (or
+    ``'full'``), construction MUTATES the passed ``model`` as a side
+    effect — it refits with ``store='full'``, replacing a light
+    (mll-only) posterior with the multi-GiB cached factor set, which
+    other holders of the same model object will observe. Pass
+    ``store='light'`` to leave the model's posterior untouched (requests
+    then stream a full refit each time).
     """
 
     #: default serving memory budget for cached factors — more generous

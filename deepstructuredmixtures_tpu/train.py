@@ -306,7 +306,7 @@ def train(
         if not np.isfinite(hist[it]):
             # keep last finite hypers (mirrors the single-GP NaN rollback);
             # n_hist is not advanced, so the non-finite value stays out of
-            # the returned history (possibly leaving it empty)
+            # the returned history
             break
         n_hist = it + 1
         theta = new_theta
@@ -321,6 +321,16 @@ def train(
             break
     bar.close(f" (stopped after {n_hist} iterations)")
 
+    if iterations > 0 and n_hist == 0:
+        # The very first step produced a non-finite mll: there is no finite
+        # trajectory to report and callers index hist[-1]. Fail loudly
+        # instead of returning an empty history (model hypers are left at
+        # their pre-train values).
+        raise RuntimeError(
+            "train: the marginal log-likelihood was non-finite at the "
+            "first iteration; check the initial hyperparameters / data "
+            "scaling (or pass randinit=False with known-good hypers)"
+        )
     model.set_params(theta)
     model.fit()
     return hist[:n_hist]
@@ -387,6 +397,12 @@ def train_gp(
             break
     bar.close()
 
+    if iterations > 0 and n_hist == 0:
+        raise RuntimeError(
+            "train_gp: the marginal log-likelihood was non-finite at the "
+            "first iteration (nothing to roll back to); check the initial "
+            "hyperparameters / data scaling"
+        )
     gp.set_params(theta)
     gp.fit()
     return hist[:n_hist]

@@ -51,6 +51,53 @@ def test_gram_symmetric_psd():
         assert np.all(w > -1e-8)
 
 
+def test_ard_se_memory_lean_paths_match_dense():
+    """The per-dim accumulated ArdSE gram (unrolled D<=32 and scanned
+    D>32 paths) must equal the dense [N, M, D] formulation it replaced
+    (which OOMs at benchmark leaf sizes), values AND gradients."""
+    import jax
+
+    def dense(logl, logsigma, x1, x2):
+        diff2 = (x1[:, None, :] - x2[None, :, :]) ** 2
+        return jnp.exp(2.0 * logsigma) * jnp.sum(
+            jnp.exp(-0.5 * diff2 * jnp.exp(-2.0 * logl)), axis=-1
+        )
+
+    for d in (1, 4, 40):  # 40 exercises the scan path
+        r = np.random.default_rng(d)
+        x1 = jnp.asarray(r.normal(size=(9, d)))
+        x2 = jnp.asarray(r.normal(size=(6, d)))
+        logl = jnp.asarray(r.normal(size=(d,)) * 0.3)
+        ls = jnp.asarray(0.2)
+        K = gram("ard_se", logl, ls, x1, x2)
+        np.testing.assert_allclose(np.asarray(K), np.asarray(dense(logl, ls, x1, x2)),
+                                   rtol=1e-12, atol=1e-12)
+        g1 = jax.grad(lambda p: jnp.sum(gram("ard_se", p, ls, x1, x2)))(logl)
+        g2 = jax.grad(lambda p: jnp.sum(dense(p, ls, x1, x2)))(logl)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_ard_se_large_leaf_fuzz():
+    """ArdSE at a benchmark-scale leaf (n >= 4096, D=4): the accumulated
+    gram must stay finite/SPD-able and match the oracle on a sampled
+    row block (full dense oracle at this size is fine on CPU)."""
+    r = np.random.default_rng(11)
+    n, d = 4352, 4
+    x = r.uniform(0, 1, size=(n, d))
+    logl = np.array([0.1, -0.2, 0.3, 0.0])
+    K = np.asarray(gram("ard_se", jnp.asarray(logl), jnp.asarray(-0.1),
+                        jnp.asarray(x), jnp.asarray(x)))
+    assert np.all(np.isfinite(K))
+    rows = r.choice(n, size=16, replace=False)
+    Ko = gram_np("ard_se", logl, -0.1, x[rows], x)
+    np.testing.assert_allclose(K[rows], Ko, rtol=1e-9, atol=1e-9)
+    # diagonal dominance of the noisy gram at benchmark noise scales
+    # guarantees the Cholesky the streamed path takes
+    L = np.linalg.cholesky(K + 0.5 * np.eye(n))
+    assert np.all(np.isfinite(L))
+
+
 def test_constructors():
     k = IsoSE(1.0, 2.0)
     assert k.n_lengthscales == 1 and k.n_params == 3 and k.has_variance

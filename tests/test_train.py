@@ -84,14 +84,14 @@ def test_gradient_matches_finite_differences():
 def test_finetune_improves_and_unties():
     m = _model(seed=9)
     dsm.train(m, optax.adam(5e-2), iterations=20, lam=1e-6, randinit=False)
-    before = m.mll()
     hist = dsm.finetune(m, optax.adam(1e-2), iterations=8, lam=1e-6)
     assert m.theta.ndim == 2  # untied per-leaf hypers
     assert m.theta.shape[0] == m.num_leaves
-    assert hist.shape[0] >= 1
-    after = m.mll()
-    # fine-tuning should not catastrophically degrade the model
-    assert after > before - 5.0
+    assert hist.shape[0] >= 2
+    # finetune optimizes the sum of own-leaf mlls (≙ l += L[gp.id],
+    # finetuning.jl:51): it must STRICTLY improve that quantity over the
+    # run (hist[0] is evaluated at the pre-finetune tied hypers)
+    assert hist[-1] > hist[0]
     # the final heterogeneous refit must be the exact batched posterior
     # (auto must never route untied hypers to the shared schedule)
     from deepstructuredmixtures_tpu import fit as fitlib
@@ -191,6 +191,28 @@ def test_finetune_bucketed_candidate_grad_matches_monolithic():
                                    atol=1e-10)
         np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_m),
                                    atol=1e-9, rtol=1e-9)
+
+
+def test_finetune_kernel_mixture_parity():
+    """Kernel-mixture leaves (GPSumNode over per-kernel GPNodes): finetune
+    must untie the full multi-block hyper vector per leaf, the bucketed
+    candidate path must match the monolithic one, and the sum of own-leaf
+    mlls must strictly improve (same gate as the single-kernel case)."""
+    kernels = [dsm.IsoSE(0.0, 0.0), dsm.IsoLinear(0.0)]
+    m1 = dsm.build_dsmgp(X, Y, V=2, K=2, M=25, kernel=kernels,
+                         log_noise=-1.0, seed=13)
+    m2 = dsm.build_dsmgp(X, Y, V=2, K=2, M=25, kernel=kernels,
+                         log_noise=-1.0, seed=13)
+    h1 = dsm.finetune(m1, optax.adam(1e-2), iterations=4, lam=1e-9)
+    h2 = dsm.finetune(m2, optax.adam(1e-2), iterations=4, lam=1e-9,
+                      bucketed=True)
+    assert m1.theta.ndim == 2 and m1.theta.shape == (
+        m1.num_leaves, m1.layout.total
+    )
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(m1.theta), np.asarray(m2.theta),
+                               atol=1e-8)
+    assert h1[-1] > h1[0]
 
 
 def test_finetune_bucketed_path_end_to_end():
