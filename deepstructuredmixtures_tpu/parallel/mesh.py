@@ -247,6 +247,88 @@ def sharded_bucketed_streamed_predict(
     return mu, var, mll
 
 
+def make_sharded_value_and_grad_bucketed(
+    layout: HyperLayout,
+    plan: SPNPlan,
+    batches,
+    leaf_ids,
+    mesh: Mesh,
+    axis: str = EXPERT_AXIS,
+    budget: int = 2 << 30,
+    chunk: Optional[int] = None,
+):
+    """Exact ``theta -> (root mll, grad)`` for size-bucketed (large)
+    models with the LEAF axis sharded across the mesh and per-device
+    chunked rematerialization — multi-chip *training* at the headline
+    scale. The round-2 mesh path materialized each device's whole-shard
+    ``[L/ndev, Nmax, Nmax]`` covariances at once (so 8 chips could not
+    train what 1 chip streams); here every device runs the chunked
+    ``leaf_mlls_fn`` loop over its own leaves, exactly like the
+    single-device per-bucket path.
+
+    Same chain-rule factoring as ``train.make_value_and_grad_bucketed``:
+    forward leaf mlls per bucket (sharded), responsibilities from the
+    tiny replicated SPN pass, then one sharded VJP per bucket with
+    cotangent ``resp`` and a ``psum`` over the mesh for the [P] gradient.
+    Reference role: the leaf-parallel training loop
+    (``optimisers.jl:4-87``) scaled over ICI instead of threads.
+    """
+    from ..fit import _bucket_chunk
+    from ..train import leaf_mlls_fn
+
+    L = plan.num_leaves
+    ndev = mesh.shape[axis]
+    bspec = LeafBatch(*([P(axis)] * 6))
+    entries = []
+    for b, ids in zip(batches, leaf_ids):
+        sb = shard_batch(b, mesh, axis)
+        rows = sb.num_leaves // ndev  # leaves per device
+        c = chunk if chunk is not None else _bucket_chunk(
+            b.nmax, rows, b.x.dtype, budget
+        )
+        c = max(1, min(c, rows))
+
+        def fwd(b_loc, th, c=c, rows=rows):
+            return leaf_mlls_fn(layout, b_loc, c if c < rows else None)(th)
+
+        fwd_sh = jax.jit(shard_map(
+            fwd, mesh=mesh, in_specs=(bspec, P()), out_specs=P(axis),
+            check_vma=False,
+        ))
+
+        def vjp(b_loc, th, rw_loc, c=c, rows=rows):
+            f = leaf_mlls_fn(layout, b_loc, c if c < rows else None)
+            g = jax.grad(lambda t: jnp.vdot(rw_loc, f(t)))(th)
+            return jax.lax.psum(g, axis)
+
+        vjp_sh = jax.jit(shard_map(
+            vjp, mesh=mesh, in_specs=(bspec, P(), P(axis)), out_specs=P(),
+            check_vma=False,
+        ))
+        entries.append(
+            (fwd_sh, vjp_sh, sb, jnp.asarray(ids), b.num_leaves,
+             sb.num_leaves)
+        )
+
+    root_fn = jax.jit(lambda mll: inferlib.root_mll(plan, mll))
+    resp_fn = jax.jit(lambda mll: inferlib.leaf_responsibilities(plan, mll))
+
+    def vg(theta):
+        mll = jnp.zeros((L,), theta.dtype)
+        for fwd_sh, _, sb, ids, nv, _ in entries:
+            mll = mll.at[ids].set(fwd_sh(sb, theta)[:nv])
+        value = root_fn(mll)
+        r = resp_fn(mll)
+        g = None
+        for _, vjp_sh, sb, ids, nv, rows_tot in entries:
+            rw = jnp.zeros((rows_tot,), theta.dtype).at[:nv].set(r[ids])
+            gb = vjp_sh(sb, theta, rw)
+            g = gb if g is None else g + gb
+        return value, g
+
+    return vg
+
+
 def make_sharded_train_step(
     layout: HyperLayout,
     plan: SPNPlan,

@@ -233,10 +233,11 @@ def train(
     ``mesh``: a ``jax.sharding.Mesh`` runs every training step
     expert-parallel across the devices (leaf factorizations sharded,
     hypers replicated, ICI collectives for the SPN reduction — see
-    ``parallel.mesh``); identical mathematics, same history. The mesh
-    path materializes each device's [L/ndev, Nmax, Nmax] covariances at
-    once — for models past per-device memory use more devices or the
-    (single-device) per-bucket chunked path."""
+    ``parallel.mesh``); identical mathematics, same history. Bucketed
+    models (any standard build) stream each device's leaves chunk-wise
+    within a memory budget, so the mesh path trains at the same scale
+    the single-device per-bucket path does; ``chunk=`` overrides the
+    per-device leaf chunk."""
     optimizer = optimizer or optax.adam(1e-3)
     layout, plan, batch = model.layout, model.plan, model.batch
     P = model.theta.shape[-1]
@@ -263,15 +264,28 @@ def train(
                 "per-leaf theta matrix cannot follow — train untied "
                 "models on the single-device per-bucket path"
             )
-        if chunk is not None:
-            raise ValueError(
-                "train(mesh=...) does not chunk (each device holds its "
-                "shard's covariances at once); drop chunk= or drop mesh="
-            )
-        from .parallel.mesh import make_sharded_mll_fn
+        if getattr(model, "bucket_batches", None) is not None:
+            # leaf axis sharded + per-device chunked streaming: trains at
+            # the headline scale on any mesh size (see
+            # parallel.mesh.make_sharded_value_and_grad_bucketed);
+            # chunk= overrides the per-device leaf chunk
+            from .parallel.mesh import make_sharded_value_and_grad_bucketed
 
-        f, _ = make_sharded_mll_fn(layout, plan, batch, mesh)
-        vg = jax.jit(jax.value_and_grad(f))
+            vg = make_sharded_value_and_grad_bucketed(
+                layout, plan, model.bucket_batches,
+                model.bucket_spec.leaf_ids, mesh, chunk=chunk,
+            )
+        else:
+            if chunk is not None:
+                raise ValueError(
+                    "train(mesh=...) without bucket batches does not "
+                    "chunk (each device holds its shard's covariances at "
+                    "once); drop chunk= or drop mesh="
+                )
+            from .parallel.mesh import make_sharded_mll_fn
+
+            f, _ = make_sharded_mll_fn(layout, plan, batch, mesh)
+            vg = jax.jit(jax.value_and_grad(f))
     elif per_bucket:
         vg = make_value_and_grad_bucketed(
             layout, plan, model.bucket_batches, model.bucket_spec.leaf_ids
@@ -426,29 +440,76 @@ def _weighted_root_mll(layout, plan, batch, theta, w):
 
 
 def make_finetune_vg_bucketed(layout, plan: SPNPlan, batches, leaf_ids,
-                              budget: int = 2 << 30):
-    """Per-candidate ``(theta_j [P], w [L]) -> (leaf mlls [L], grad [P])``
-    through the size-bucketed chunked programs — the large-model finetune
-    path (the monolithic vmapped candidate pass OOMs at N=100k).
+                              budget: int = 2 << 30, mesh=None,
+                              axis: str = "experts"):
+    """ALL finetune candidates ``(H [C, P], W [C, L]) -> (leaf mlls
+    [C, L], grads [C, P])`` through the size-bucketed chunked programs —
+    the large-model finetune path (the monolithic vmapped candidate pass
+    OOMs at N=100k).
 
     Same chain-rule factoring as :func:`make_value_and_grad_bucketed`:
-    the D-row-weighted gradient is exactly
-    ``Σ_l resp_l · w_l · d mll_l/dθ`` (the stop-gradient surrogate of
+    candidate j's D-row-weighted gradient is exactly
+    ``Σ_l resp_l · w_jl · d mll_l/dθ`` (the stop-gradient surrogate of
     ``_weighted_root_mll``, ≙ ``optimize.jl:92-150``), so it decomposes
-    into one small VJP per bucket with cotangent ``resp · w``.
-    """
-    L = plan.num_leaves
-    fwd_fns, vg_fns, idx = _build_bucket_fns(layout, batches, leaf_ids, budget)
-    resp_fn = jax.jit(lambda mll: inferlib.leaf_responsibilities(plan, mll))
+    into one VJP per bucket with cotangent ``resp · w``.
 
-    def vg(theta_j, w):
-        mll = jnp.zeros((L,), theta_j.dtype)
+    Candidates are evaluated with ``lax.map`` INSIDE each per-bucket
+    program — peak memory stays ONE candidate's chunk workspace, but a
+    full iteration costs 2 dispatches per bucket instead of round 2's
+    per-candidate host loop (144 candidates x 23 buckets x 2 programs
+    ≈ 6.6k dispatches x ~25 ms dispatch floor). With ``mesh``, the
+    candidate axis is sharded across the devices (``shard_map``; C must
+    be a multiple of the mesh size — pad with wrapped rows): candidate
+    evaluations are embarrassingly parallel, ≙ the independence of the
+    reference's round-robin leaf updates (``finetuning.jl:37-57``).
+    """
+    from .fit import _bucket_chunk
+
+    L = plan.num_leaves
+    fwd_fns, vg_fns, idx = [], [], []
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+    for b, ids in zip(batches, leaf_ids):
+        chunk = _bucket_chunk(b.nmax, b.num_leaves, b.x.dtype, budget)
+        f = leaf_mlls_fn(layout, b, chunk if chunk < b.num_leaves else None)
+
+        def fwd(Hc, f=f):
+            return lax.map(f, Hc)
+
+        def vjp(Hc, RWc, f=f):
+            def one(args):
+                th, rw = args
+                return jax.grad(lambda t: jnp.vdot(rw, f(t)))(th)
+
+            return lax.map(one, (Hc, RWc))
+
+        if mesh is not None:
+            fwd = shard_map(fwd, mesh=mesh, in_specs=(P(axis),),
+                            out_specs=P(axis), check_vma=False)
+            vjp = shard_map(vjp, mesh=mesh, in_specs=(P(axis), P(axis)),
+                            out_specs=P(axis), check_vma=False)
+        fwd_fns.append(jax.jit(fwd))
+        vg_fns.append(jax.jit(vjp))
+        idx.append(jnp.asarray(ids))
+
+    resp_v = jax.jit(jax.vmap(
+        lambda mll: inferlib.leaf_responsibilities(plan, mll)
+    ))
+
+    def vg(H, W):
+        C = H.shape[0]
+        mll = jnp.zeros((C, L), H.dtype)
         for f, ids in zip(fwd_fns, idx):
-            mll = mll.at[ids].set(f(theta_j))
-        rw = resp_fn(mll) * w
+            mll = mll.at[:, ids].set(f(H))
+        rw = resp_v(mll) * W
         g = None
         for gfn, ids in zip(vg_fns, idx):
-            gb = gfn(theta_j, rw[ids])
+            gb = gfn(H, rw[:, ids])
             g = gb if g is None else g + gb
         return mll, g
 
@@ -466,6 +527,7 @@ def finetune(
     verbose: bool = False,
     progress=None,
     bucketed: Optional[bool] = None,
+    mesh=None,
 ):
     """Fine-tune per-leaf hyperparameters (≙ ``finetune!``,
     ``finetuning.jl:3-88``).
@@ -480,7 +542,13 @@ def finetune(
     Large models (any size bucket ≥ 4096) evaluate candidates through the
     size-bucketed chunked programs (:func:`make_finetune_vg_bucketed`)
     instead of vmapping over the monolithic padded batch, so finetune runs
-    at N=100k within the same memory budget as ``train``.
+    at N=100k within the same memory budget as ``train`` and in 2
+    dispatches per bucket per iteration.
+
+    ``mesh``: shard the candidate evaluations across a device mesh
+    (forces the bucketed path; identical mathematics and history —
+    candidates are independent, so this is pure data parallelism over
+    the candidate axis).
     """
     optimizer = optimizer or optax.adam(1e-3)
     layout, plan, batch = model.layout, model.plan, model.batch
@@ -502,23 +570,28 @@ def finetune(
             getattr(model, "bucket_batches", None) is not None
             and max(b.nmax for b in model.bucket_batches) >= 4096
         )
+    if mesh is not None:
+        per_bucket = True  # the candidate-sharded path is the bucketed one
     if per_bucket:
-        vg_one = make_finetune_vg_bucketed(
-            layout, plan, model.bucket_batches, model.bucket_spec.leaf_ids
+        naxis = None if mesh is None else next(iter(mesh.shape))
+        ndev = 1 if mesh is None else mesh.shape[naxis]
+        vg_all = make_finetune_vg_bucketed(
+            layout, plan, model.bucket_batches, model.bucket_spec.leaf_ids,
+            mesh=mesh, axis=naxis or "experts",
         )
 
         apply_fn = jax.jit(
             lambda G, opt_state, H: optimizer.update(-G, opt_state, H)
         )
+        pad = (-L) % ndev
+        jdiag = np.arange(L)
 
         def iteration(H, opt_state):
-            G = np.zeros(H.shape, dtype=H.dtype)
-            own = np.zeros(L)
-            for j in range(L):
-                mll_j, g_j = vg_one(H[j], Dd[j])
-                G[j] = np.asarray(g_j)
-                own[j] = float(mll_j[j])
-            updates, opt_state = apply_fn(jnp.asarray(G), opt_state, H)
+            Hp = jnp.concatenate([H, H[:pad]], axis=0) if pad else H
+            Wp = jnp.concatenate([Dd, Dd[:pad]], axis=0) if pad else Dd
+            mll_c, G = vg_all(Hp, Wp)
+            own = np.asarray(mll_c)[jdiag, jdiag]  # candidate j's own mll
+            updates, opt_state = apply_fn(G[:L], opt_state, H)
             return optax.apply_updates(H, updates), opt_state, float(own.sum())
     else:
         # gradient of the weighted root mll, plus the leaf's own mll (the

@@ -153,6 +153,61 @@ def test_train_with_mesh_matches_single_device():
                                atol=1e-9)
 
 
+def test_sharded_bucketed_vg_matches_single_device():
+    """The chunked multi-chip training gradient (leaf axis sharded,
+    per-device streaming) must equal the single-device per-bucket
+    value-and-grad exactly — same chain rule, different partitioning."""
+    from deepstructuredmixtures_tpu.parallel.mesh import (
+        make_sharded_value_and_grad_bucketed,
+    )
+    from deepstructuredmixtures_tpu.train import make_value_and_grad_bucketed
+
+    m = _model(seed=11)
+    mesh = make_mesh(8)
+    vg_l = make_value_and_grad_bucketed(
+        m.layout, m.plan, m.bucket_batches, m.bucket_spec.leaf_ids
+    )
+    # small per-device chunk forces the streaming loop to actually chunk
+    vg_s = make_sharded_value_and_grad_bucketed(
+        m.layout, m.plan, m.bucket_batches, m.bucket_spec.leaf_ids, mesh,
+        chunk=1,
+    )
+    v1, g1 = vg_l(m.theta)
+    v2, g2 = vg_s(m.theta)
+    assert abs(float(v1) - float(v2)) < 1e-10
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-9)
+
+
+def test_train_with_mesh_bucketed_trajectory_parity():
+    """train(mesh=) now routes bucketed models through the chunked
+    sharded path — trajectory must still match single-device exactly."""
+    m1 = _model(seed=13)
+    m2 = _model(seed=13)
+    mesh = make_mesh(8)
+    h1 = dsm.train(m1, optax.adam(5e-2), iterations=5, lam=1e-9,
+                   randinit=False, progress=False, chunk=1)
+    h2 = dsm.train(m2, optax.adam(5e-2), iterations=5, lam=1e-9,
+                   randinit=False, progress=False, mesh=mesh, chunk=1)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(m1.theta), np.asarray(m2.theta),
+                               atol=1e-9)
+
+
+def test_finetune_with_mesh_matches_single_device():
+    """finetune(mesh=) shards the candidate axis; history and final
+    per-leaf hypers must equal the single-device bucketed path."""
+    m1 = _model(seed=15)
+    m2 = _model(seed=15)
+    mesh = make_mesh(8)
+    h1 = dsm.finetune(m1, optax.adam(1e-2), iterations=3, lam=1e-9,
+                      bucketed=True, progress=False)
+    h2 = dsm.finetune(m2, optax.adam(1e-2), iterations=3, lam=1e-9,
+                      mesh=mesh, progress=False)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(m1.theta), np.asarray(m2.theta),
+                               atol=1e-8)
+
+
 def test_batch_actually_sharded():
     m = _model()
     mesh = make_mesh(8)

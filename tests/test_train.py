@@ -173,6 +173,8 @@ def test_finetune_bucketed_candidate_grad_matches_monolithic():
     vg = make_finetune_vg_bucketed(
         m.layout, m.plan, m.bucket_batches, m.bucket_spec.leaf_ids
     )
+    # all candidates in one call (lax.map inside the per-bucket programs)
+    lm_all, g_all = vg(jnp.asarray(H), jnp.asarray(Dd))
 
     def mono(theta_j, w_j):
         (root, lm), vjp = jax.vjp(
@@ -183,13 +185,10 @@ def test_finetune_bucketed_candidate_grad_matches_monolithic():
         return lm, g
 
     for j in (0, L // 2, L - 1):
-        th = jnp.asarray(H[j])
-        w = jnp.asarray(Dd[j])
-        lm_b, g_b = vg(th, w)
-        lm_m, g_m = mono(th, w)
-        np.testing.assert_allclose(np.asarray(lm_b), np.asarray(lm_m),
+        lm_m, g_m = mono(jnp.asarray(H[j]), jnp.asarray(Dd[j]))
+        np.testing.assert_allclose(np.asarray(lm_all[j]), np.asarray(lm_m),
                                    atol=1e-10)
-        np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_m),
+        np.testing.assert_allclose(np.asarray(g_all[j]), np.asarray(g_m),
                                    atol=1e-9, rtol=1e-9)
 
 
