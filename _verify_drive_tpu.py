@@ -91,3 +91,35 @@ assert np.isfinite(float(mu_e[0])) and float(var_e[0]) > 0
 print("9. refit idempotence + extrapolation OK")
 
 print("ALL TPU VERIFY CHECKS PASSED")
+
+# 10. streamed bodies route through the fused Pallas kernel (round-3
+# wiring: default pad_multiple=128 on TPU/f32/IsoSE, 128-quantum small
+# buckets, untied-hypers support) — streamed mlls must match plain XLA
+mp2 = dsm.build_dsmgp(xp, yp, V=2, K=3, M=30, kernel=dsm.IsoSE(0.0, 0.0),
+                      log_noise=-1.0, seed=2, dtype=jnp.float32, do_fit=False)
+assert all(b.nmax % 128 == 0 for b in mp2.bucket_batches), \
+    [b.nmax for b in mp2.bucket_batches]
+ref = fitlib.fit_batched(mp2.layout, mp2.theta, mp2.batch, use_pallas=False)
+lite = fitlib.bucketed_leaf_mlls(
+    mp2.layout, mp2.theta, mp2.bucket_batches, mp2.bucket_spec.leaf_ids,
+    mp2.num_leaves,
+)
+rel = np.max(np.abs(np.asarray(lite) - np.asarray(ref.mll))
+             / np.maximum(1, np.abs(np.asarray(ref.mll))))
+assert rel < 1e-4, rel
+# untied per-leaf hypers through the same streamed/fused path
+Lh = mp2.num_leaves
+Hh = np.tile(np.asarray(mp2.theta), (Lh, 1)).astype(np.float32)
+Hh[:, 0] += np.linspace(-0.2, 0.2, Lh)
+ref_u = fitlib.fit_batched(mp2.layout, jnp.asarray(Hh), mp2.batch,
+                           use_pallas=False)
+lite_u = fitlib.bucketed_leaf_mlls(
+    mp2.layout, jnp.asarray(Hh), mp2.bucket_batches,
+    mp2.bucket_spec.leaf_ids, mp2.num_leaves,
+)
+rel_u = np.max(np.abs(np.asarray(lite_u) - np.asarray(ref_u.mll))
+               / np.maximum(1, np.abs(np.asarray(ref_u.mll))))
+assert rel_u < 1e-4, rel_u
+print("10. streamed fused-kernel path OK  rel %.2e (untied %.2e)" % (rel, rel_u))
+
+print("ALL TPU VERIFY CHECKS PASSED (incl. 10)")

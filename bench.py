@@ -459,6 +459,110 @@ def run_anchor(args, dtype):
     print(json.dumps(entry))
 
 
+def run_config5(args, dtype):
+    """BASELINE config 5 at scale: full DSMGP V=3 K=4 with the ADDITIVE
+    ArdSE kernel on multi-D data, hyper warm-start from a subsample-trained
+    model (README.md:58-71 workflow), streamed fit, one bucketed finetune
+    iteration (per-leaf untied hypers, D-row weighting), and routed
+    prediction — all on the chip. Spot-checks a few leaf mlls against the
+    float64 NumPy oracle."""
+    import optax
+
+    import deepstructuredmixtures_tpu as dsm
+
+    n, d = args.n, 4
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0.0, 1.0, (n, d))
+    y = (
+        np.sin(x[:, 0] * 6.0) * np.cos(x[:, 1] * 4.0)
+        + 0.5 * x[:, 2]
+        - 0.3 * x[:, 3] ** 2
+        + 0.1 * rng.standard_normal(n)
+    )
+    kern = lambda: dsm.ArdSE([0.0] * d, 0.0)  # noqa: E731
+
+    t0 = time.perf_counter()
+    model = dsm.build_dsmgp(
+        x, y, V=3, K=4, M=args.m_min, kernel=kern(), log_noise=-1.0,
+        seed=0, dtype=dtype, do_fit=False,
+    )
+    t_build = time.perf_counter() - t0
+
+    # warm start: train tied hypers on a subsample model, inject
+    sub = np.sort(rng.choice(n, min(4000, n), replace=False))
+    msub = dsm.build_dsmgp(
+        x[sub], y[sub], V=2, K=3, M=args.m_min, kernel=kern(),
+        log_noise=-1.0, seed=1, dtype=dtype, do_fit=False,
+    )
+    t0 = time.perf_counter()
+    dsm.train(msub, optax.adam(5e-2), iterations=15, lam=1e-9,
+              randinit=False, progress=False)
+    t_warm = time.perf_counter() - t0
+    model.set_params(msub.get_params())
+
+    t_fit = model.fit(store="light")
+    mll_tpu = np.asarray(model.leaf_mlls())
+    z = model.update()
+
+    # float64 oracle spot-check on the smallest leaves (1-core CPU):
+    # additive ArdSE (kernels.jl:39-49 semantics), full NumPy f64 chain
+    sizes = np.array([o.size for o in model.plan.leaf_obs])
+    theta64 = np.asarray(model.theta, dtype=np.float64)
+    logl, logsigma, lognoise = theta64[:d], theta64[d], theta64[d + 1]
+    worst = 0.0
+    for l in np.argsort(sizes)[:3]:
+        obs = model.plan.leaf_obs[int(l)]
+        xl = x[obs]
+        yl = y[obs] - model.plan.leaf_mean[int(l)]
+        K = np.zeros((len(obs), len(obs)))
+        for k in range(d):
+            dk = (xl[:, k, None] - xl[None, :, k]) ** 2
+            K += np.exp(-0.5 * dk * np.exp(-2.0 * logl[k]))
+        K *= np.exp(2.0 * logsigma)
+        K[np.diag_indices_from(K)] += np.exp(2.0 * lognoise) + 1e-8
+        Lf = np.linalg.cholesky(K)
+        import scipy.linalg as sla
+
+        alpha = sla.cho_solve((Lf, True), yl)
+        mll_l = -0.5 * (
+            yl @ alpha + 2 * np.log(np.diag(Lf)).sum()
+            + len(obs) * np.log(2 * np.pi)
+        )
+        worst = max(worst, abs(mll_tpu[l] - mll_l) / max(1.0, abs(mll_l)))
+
+    t0 = time.perf_counter()
+    hist = dsm.finetune(model, optax.adam(1e-2),
+                        iterations=args.config5_finetune_iters,
+                        lam=1e-9, bucketed=True, progress=False)
+    t_ft = time.perf_counter() - t0
+
+    xt = rng.uniform(0.0, 1.0, (args.test, d))
+    t0 = time.perf_counter()
+    mean, var = model.predict(xt)
+    mean = np.asarray(mean)
+    t_pred = time.perf_counter() - t0
+    ok = bool(
+        np.all(np.isfinite(mean)) and np.all(np.asarray(var) > 0)
+        and np.all(np.isfinite(hist))
+    )
+    print(json.dumps({
+        "metric": f"config5_ardse_d{d}_n{n}",
+        "value": round(t_fit, 4),
+        "unit": "s_fit",
+        "build_s": round(t_build, 2),
+        "warmstart_s": round(t_warm, 2),
+        "finetune_iter_s": round(t_ft, 2),
+        "finetune_iters": int(len(hist)),
+        "predict_s": round(t_pred, 3),
+        "log_evidence": round(float(z), 3),
+        "max_rel_err_small_leaf_mll_vs_f64": float(worst),
+        "finite": ok,
+        "leaves": int(model.num_leaves),
+        "max_leaf": int(sizes.max()),
+        "dtype": str(np.dtype(dtype)),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
@@ -479,6 +583,14 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu) — must be set "
                          "before first backend use")
+    ap.add_argument("--config5", action="store_true",
+                    help="BASELINE config 5 at --n: ArdSE D=4, warm-start, "
+                         "streamed fit, bucketed finetune, routed predict")
+    ap.add_argument("--config5-finetune-iters", type=int, default=1)
+    ap.add_argument("--dtype", default=None, choices=["f32", "f64"],
+                    help="override the compute dtype (f64 on TPU is the "
+                         "opt-in accuracy mode, ~42x slower — the second "
+                         "point of the speed-accuracy contract)")
     args = ap.parse_args()
 
     if args.quick:
@@ -488,15 +600,23 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
-    dtype = jnp.float32 if jax.devices()[0].platform != "cpu" else jnp.float64
+    if args.dtype is not None:
+        dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+    else:
+        dtype = jnp.float32 if jax.devices()[0].platform != "cpu" else jnp.float64
 
     if args.anchor:
         run_anchor(args, dtype)
         return
     if args.compare_shared:
         run_compare_shared(args, dtype)
+        return
+    if args.config5:
+        run_config5(args, dtype)
         return
 
     x, y = make_data(args.n)
@@ -559,6 +679,10 @@ def main():
         "mfu": mfu,
         "model_tflops": round(flops / 1e12, 3),
     }
+    if args.dtype is not None:  # explicit-dtype runs report their errors
+        result["dtype"] = args.dtype
+        if errs is not None:
+            result["oracle_errors"] = {k: float(v) for k, v in errs.items()}
     print(json.dumps(result))
 
 

@@ -49,23 +49,34 @@ def _noisy_gram(layout, theta, batch):
 
 def _maybe_pallas_chol(layout, theta, batch: LeafBatch):
     """Factors via the fused Pallas gram+Cholesky kernel when it applies
-    (TPU, float32, single-IsoSE layout, tied hypers, VMEM-sized leaves;
-    measured 1.26x faster than the XLA gram+cholesky at [64, 512] — see
-    ``ops/pallas_chol.py``), else ``None``. Forward (non-differentiated)
-    paths only: the kernel defines no VJP."""
+    (TPU, float32, single-IsoSE layout, VMEM-sized leaves; measured 1.26x
+    faster than the XLA gram+cholesky at [64, 512] — see
+    ``ops/pallas_chol.py``), else ``None``. Handles both tied (``theta
+    [P]``) and per-leaf untied (``theta [L, P]``, post-finetune) hypers —
+    the kernel takes per-leaf scalars either way. Forward
+    (non-differentiated) paths only: the kernel defines no VJP."""
     from .hyper import unpack
     from .ops import pallas_chol
 
-    if jnp.ndim(theta) != 1 or len(layout.kinds) != 1:
+    if jnp.ndim(theta) not in (1, 2) or len(layout.kinds) != 1:
         return None
     if not pallas_chol.supported(batch.nmax, batch.x.dtype, layout.kinds):
         return None
     logl, logsigma, lognoise = unpack(layout, theta, 0)
     L = batch.num_leaves
-    ones = jnp.ones((L,), batch.x.dtype)
+    if jnp.ndim(theta) == 1:
+        ones = jnp.ones((L,), batch.x.dtype)
+        logl_v = logl[0] * ones
+        logsigma_v = logsigma * ones
+        noise_v = jnp.exp(2.0 * lognoise) * ones
+    else:  # per-leaf rows [L, P]
+        if theta.shape[0] != L:
+            return None
+        logl_v = logl[:, 0]
+        logsigma_v = logsigma
+        noise_v = jnp.exp(2.0 * lognoise)
     return pallas_chol.fused_gram_cholesky(
-        batch.x, batch.n, logl[0] * ones, logsigma * ones,
-        jnp.exp(2.0 * lognoise) * ones, eps=EPS,
+        batch.x, batch.n, logl_v, logsigma_v, noise_v, eps=EPS,
     )
 
 
@@ -271,8 +282,10 @@ def fit_light(layout: HyperLayout, theta, batch: LeafBatch,
         sl = lambda a: lax.dynamic_slice_in_dim(a, i * chunk, chunk, axis=0)
         b = LeafBatch(*[sl(a) for a in bpad])
         th = theta if theta.ndim == 1 else sl(theta)
-        Kn = _noisy_gram(layout, th, b)
-        Lf = chol.cholesky_nosym(Kn)
+        Lf = _maybe_pallas_chol(layout, th, b)  # fused path (small buckets)
+        if Lf is None:
+            Kn = _noisy_gram(layout, th, b)
+            Lf = chol.cholesky_nosym(Kn)
         yc = centered_y(b)
         # mll needs only the FORWARD solve: y'alpha = ||L^{-1}y||^2. The
         # transposed solve (alpha itself) is skipped — a single-rhs
@@ -342,8 +355,10 @@ def streamed_leaf_predict(
         sl = lambda a: lax.dynamic_slice_in_dim(a, i * chunk, chunk, axis=0)
         b = LeafBatch(*[sl(a) for a in bpad])
         th = theta if theta.ndim == 1 else sl(theta)
-        Kn = _noisy_gram(layout, th, b)
-        Lf = chol.cholesky_nosym(Kn)
+        Lf = _maybe_pallas_chol(layout, th, b)  # fused path (small buckets)
+        if Lf is None:
+            Kn = _noisy_gram(layout, th, b)
+            Lf = chol.cholesky_nosym(Kn)
         yc = centered_y(b)
         if routed:
             xt_leaf = xt[sl(tidx_p)]

@@ -177,3 +177,60 @@ def test_giant_gp_model_layer_distributed_fit_predict():
     mu_s2, var_s2 = gp_s.predict(xt)
     np.testing.assert_allclose(np.asarray(mu_d2), np.asarray(mu_s2), atol=1e-8)
     np.testing.assert_allclose(np.asarray(var_d2), np.asarray(var_s2), atol=1e-8)
+
+
+def test_tree_model_oversized_leaves_route_to_dist_chol():
+    """model.fit(mesh=) — a tree model whose leaves exceed the synthetic
+    HBM budget routes those leaves through the distributed Cholesky; leaf
+    mlls, routed DSMGP prediction, and PoE prediction must match the
+    single-device oracle (VERDICT r2 item 6: the 'long-context' story for
+    tree leaves, ≙ gaussianprocess.jl:87-108 without the one-host cap)."""
+    import deepstructuredmixtures_tpu as dsm
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(21)
+    N = 400
+    x = np.sort(rng.uniform(0, 1, N)).reshape(-1, 1)
+    y = np.sin(x[:, 0] * 5) + 0.1 * rng.standard_normal(N)
+
+    m_ref = dsm.build_dsmgp(x, y, V=2, K=2, M=40, kernel=dsm.IsoSE(0.0, 0.0),
+                            log_noise=-1.0, seed=3)
+    m_d = dsm.build_dsmgp(x, y, V=2, K=2, M=40, kernel=dsm.IsoSE(0.0, 0.0),
+                          log_noise=-1.0, seed=3, do_fit=False)
+    # budget sized so only the LARGEST bucket exceeds it -> mixed path
+    sizes = sorted(b.nmax for b in m_d.bucket_batches)
+    budget = (sizes[-1] ** 2) * 8 - 1 if len(sizes) == 1 else (
+        (sizes[-2] ** 2) * 8
+    )
+    m_d.fit(mesh=mesh, giant_leaf_bytes=budget, block=16)
+    assert m_d.last_fit_diagnostics["distributed_leaves"] >= 1
+    assert len(m_d._giant) < m_d.num_leaves or len(sizes) == 1
+
+    np.testing.assert_allclose(
+        np.asarray(m_d.leaf_mlls()), np.asarray(m_ref.leaf_mlls()),
+        atol=1e-8, rtol=1e-10,
+    )
+    z_d, z_r = m_d.update(), m_ref.update()
+    assert abs(z_d - z_r) < 1e-8
+
+    xt = np.linspace(-0.05, 1.05, 41).reshape(-1, 1)
+    mu_d, var_d = m_d.predict(xt)
+    mu_r, var_r = m_ref.predict(xt)
+    np.testing.assert_allclose(np.asarray(mu_d), np.asarray(mu_r), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var_d), np.asarray(var_r), atol=1e-8)
+
+    # every-leaf-is-giant extreme + PoE-family predict path
+    p_d = dsm.build_poe(x, y, K=3, M=40, kernel=dsm.IsoSE(0.0, 0.0),
+                        log_noise=-1.0, seed=4, do_fit=False)
+    p_r = dsm.build_poe(x, y, K=3, M=40, kernel=dsm.IsoSE(0.0, 0.0),
+                        log_noise=-1.0, seed=4)
+    p_d.fit(mesh=mesh, giant_leaf_bytes=1, block=16)
+    assert p_d.last_fit_diagnostics["distributed_leaves"] == p_d.num_leaves
+    mu_d, var_d = p_d.predict(xt)
+    mu_r, var_r = p_r.predict(xt)
+    np.testing.assert_allclose(np.asarray(mu_d), np.asarray(mu_r), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var_d), np.asarray(var_r), atol=1e-8)
+
+    # set_params invalidates the mesh-resident factors
+    m_d.set_params(np.asarray(m_d.get_params()) + 0.1)
+    assert m_d._giant is None

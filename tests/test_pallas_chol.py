@@ -84,3 +84,42 @@ def test_supported_gates():
     assert not pallas_chol.supported(256, jnp.float32, ("ard_se",))  # kind
     # on the CPU test platform the TPU path must be off regardless
     assert not pallas_chol.supported(256, jnp.float32, ("iso_se",))
+
+
+def test_fused_kernel_per_leaf_hypers():
+    """Untied (post-finetune) hypers: the kernel takes per-leaf scalars —
+    each leaf factored under ITS OWN hypers must match its oracle."""
+    L, N, D = 4, 256, 1
+    x, n = _make_batch(L, N, D, seed=7)
+    logl = np.linspace(-0.8, 0.1, L).astype(np.float32)
+    logsigma = np.linspace(-0.2, 0.4, L).astype(np.float32)
+    noise = np.linspace(0.03, 0.2, L).astype(np.float32)
+    out = np.asarray(pallas_chol.fused_gram_cholesky(
+        jnp.asarray(x), jnp.asarray(n), jnp.asarray(logl),
+        jnp.asarray(logsigma), jnp.asarray(noise), interpret=True,
+    ))
+    for l in range(L):
+        Lref = _oracle(x[l, : n[l]], logl[l], logsigma[l], noise[l])
+        assert np.abs(out[l, : n[l], : n[l]] - Lref).max() < 5e-4
+
+
+def test_streamed_body_untied_dispatch_consistency():
+    """_maybe_pallas_chol accepts per-leaf theta rows; on CPU it returns
+    None (platform gate) and the streamed paths fall through to XLA —
+    tied and untied streamed mlls must both equal fit_batched."""
+    import deepstructuredmixtures_tpu as dsm
+    from deepstructuredmixtures_tpu import fit as fitlib
+
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(0, 1, 300)).reshape(-1, 1)
+    y = np.sin(x[:, 0] * 7) + 0.1 * rng.standard_normal(300)
+    m = dsm.build_dsmgp(x, y, V=2, K=2, M=30, kernel=dsm.IsoSE(0.0, 0.0),
+                        log_noise=-1.0, seed=5)
+    L = m.num_leaves
+    H = np.tile(np.asarray(m.theta), (L, 1))
+    H[:, 0] += np.linspace(-0.2, 0.2, L)
+    H = jnp.asarray(H, m.dtype)
+    ref = fitlib.fit_batched(m.layout, H, m.batch).mll
+    light = fitlib.fit_light(m.layout, H, m.batch, chunk=3).mll
+    np.testing.assert_allclose(np.asarray(light), np.asarray(ref),
+                               atol=1e-9, rtol=1e-11)
