@@ -126,11 +126,20 @@ def gram(kind: str, logl, logsigma, x1, x2):
         # (≙ the reference's per-dim kappa accumulation, kernels.jl:39-49.)
         inv_l2 = jnp.exp(-2.0 * logl)  # [D]
         d = x1.shape[-1]
+
+        @jax.checkpoint
+        def _term(a, b, il):
+            # rematerialized in the backward pass: without this the VJP
+            # saves ALL D per-dim [N, M] exp outputs as residuals — at
+            # benchmark leaf sizes (n≈17k, D=4) that alone is ~4.6 GiB
+            # per leaf and crashes the chip during finetune VJPs.
+            diff = a[:, None] - b[None, :]
+            return jnp.exp(-0.5 * (diff * diff) * il)
+
         if d <= 32:  # unrolled: best fusion, D is small in practice
             acc = None
             for k in range(d):
-                diff = x1[:, k, None] - x2[None, :, k]  # [N, M]
-                term = jnp.exp(-0.5 * (diff * diff) * inv_l2[k])
+                term = _term(x1[:, k], x2[:, k], inv_l2[k])
                 acc = term if acc is None else acc + term
         else:  # very high-D: scan over the dim axis (same O(N*M) peak)
             x1t = jnp.moveaxis(x1, -1, 0)  # [D, N]
@@ -139,8 +148,7 @@ def gram(kind: str, logl, logsigma, x1, x2):
 
             def body(acc, args):
                 a, b, il = args
-                diff = a[:, None] - b[None, :]
-                return acc + jnp.exp(-0.5 * (diff * diff) * il), None
+                return acc + _term(a, b, il), None
 
             init = jnp.zeros((x1.shape[-2], x2.shape[-2]), dtype=x1.dtype)
             acc, _ = jax.lax.scan(body, init, (x1t, x2t, ilt))
