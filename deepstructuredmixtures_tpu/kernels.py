@@ -92,6 +92,73 @@ def ArdLinear(logl: Sequence[float]) -> KernelSpec:
     return KernelSpec(KIND_ARD_LINEAR, tuple(float(v) for v in logl), 0.0)
 
 
+def _ard_se_terms(logl, x1, x2):
+    """Per-dim terms T_k = exp(-0.5 (x1_k - x2_k')² e^{-2 logl_k}),
+    accumulated one dimension at a time: the obvious [N, M, D] difference
+    tensor is 4-30 GiB per leaf at benchmark sizes (n≈8-17k, D>=4); the
+    additive form keeps peak memory O(N·M)."""
+    inv_l2 = jnp.exp(-2.0 * logl)
+    acc = None
+    for k in range(x1.shape[-1]):
+        diff = x1[:, k, None] - x2[None, :, k]
+        term = jnp.exp(-0.5 * (diff * diff) * inv_l2[k])
+        acc = term if acc is None else acc + term
+    return acc
+
+
+@jax.custom_vjp
+def _ard_se_gram(logl, logsigma, x1, x2):
+    """Additive ARD-SE gram (≙ the reference's per-dim kappa accumulation,
+    ``kernels.jl:39-49``) with a HAND-WRITTEN memory-lean VJP.
+
+    Autodiff of the per-dim accumulation saves every dim's [N, M] exp
+    output as a residual (measured: crashes the chip during finetune
+    candidate VJPs at n≈16k, D=4), and `jax.checkpoint`-based remat blew
+    XLA compile times to ~20 min per program. The custom backward
+    recomputes each dim's term from (x1, x2, logl) — peak memory is a
+    couple of [N, M] temporaries, the program is ~10 ops per dim, and
+    the gradients (logl, logsigma, x1, x2) are exact (gated against
+    autodiff of the dense formulation in ``test_kernels.py``)."""
+    return jnp.exp(2.0 * logsigma) * _ard_se_terms(logl, x1, x2)
+
+
+def _ard_se_fwd(logl, logsigma, x1, x2):
+    K = _ard_se_gram(logl, logsigma, x1, x2)
+    return K, (logl, logsigma, x1, x2, K)
+
+
+def _ard_se_bwd(res, dK):
+    logl, logsigma, x1, x2, K = res
+    s2 = jnp.exp(2.0 * logsigma)
+    inv_l2 = jnp.exp(-2.0 * logl)
+    d = x1.shape[-1]
+    dlogsigma = 2.0 * jnp.vdot(dK, K)
+    dlogl = []
+    dx1 = []
+    dx2 = []
+    for k in range(d):
+        a = x1[:, k]
+        b = x2[:, k]
+        diff = a[:, None] - b[None, :]  # [N, M]
+        il = inv_l2[k]
+        G = dK * (s2 * jnp.exp(-0.5 * (diff * diff) * il))  # dK ⊙ s2·T_k
+        # ∂K/∂logl_k = s2·T_k·d2_k·il  (chain through il = e^{-2 logl})
+        dlogl.append(jnp.vdot(G, (diff * diff) * il))
+        # ∂K/∂x1_ik = -s2·T_k·il·diff ;  ∂K/∂x2_jk = +s2·T_k·il·diff
+        GD = G * diff
+        dx1.append(-il * jnp.sum(GD, axis=1))
+        dx2.append(il * jnp.sum(GD, axis=0))
+    return (
+        jnp.stack(dlogl).astype(logl.dtype),
+        dlogsigma.astype(jnp.asarray(logsigma).dtype),
+        jnp.stack(dx1, axis=-1).astype(x1.dtype),
+        jnp.stack(dx2, axis=-1).astype(x2.dtype),
+    )
+
+
+_ard_se_gram.defvjp(_ard_se_fwd, _ard_se_bwd)
+
+
 def _sqdist(x1, x2):
     """Pairwise squared Euclidean distances [N, M] via the MXU-friendly
     inner-product expansion (reference uses Distances.SqEuclidean,
@@ -117,42 +184,7 @@ def gram(kind: str, logl, logsigma, x1, x2):
         inv_l2 = jnp.exp(-2.0 * logl[0])
         return jnp.exp(2.0 * logsigma) * jnp.exp(-0.5 * r2 * inv_l2)
     if kind == KIND_ARD_SE:
-        # Additive over dimensions (see module docstring), accumulated one
-        # dimension at a time: the obvious [N, M, D] difference tensor is
-        # 4-30 GiB per leaf at benchmark sizes (n≈8-17k, D>=4) and would
-        # blow the 2 GiB streaming budget; the additive form sums
-        # independent per-dim [N, M] terms, so peak memory stays O(N*M)
-        # and XLA fuses the whole accumulation into one elementwise loop.
-        # (≙ the reference's per-dim kappa accumulation, kernels.jl:39-49.)
-        inv_l2 = jnp.exp(-2.0 * logl)  # [D]
-        d = x1.shape[-1]
-
-        @jax.checkpoint
-        def _term(a, b, il):
-            # rematerialized in the backward pass: without this the VJP
-            # saves ALL D per-dim [N, M] exp outputs as residuals — at
-            # benchmark leaf sizes (n≈17k, D=4) that alone is ~4.6 GiB
-            # per leaf and crashes the chip during finetune VJPs.
-            diff = a[:, None] - b[None, :]
-            return jnp.exp(-0.5 * (diff * diff) * il)
-
-        if d <= 32:  # unrolled: best fusion, D is small in practice
-            acc = None
-            for k in range(d):
-                term = _term(x1[:, k], x2[:, k], inv_l2[k])
-                acc = term if acc is None else acc + term
-        else:  # very high-D: scan over the dim axis (same O(N*M) peak)
-            x1t = jnp.moveaxis(x1, -1, 0)  # [D, N]
-            x2t = jnp.moveaxis(x2, -1, 0)  # [D, M]
-            ilt = jnp.moveaxis(inv_l2, -1, 0)
-
-            def body(acc, args):
-                a, b, il = args
-                return acc + _term(a, b, il), None
-
-            init = jnp.zeros((x1.shape[-2], x2.shape[-2]), dtype=x1.dtype)
-            acc, _ = jax.lax.scan(body, init, (x1t, x2t, ilt))
-        return jnp.exp(2.0 * logsigma) * acc
+        return _ard_se_gram(logl, logsigma, x1, x2)
     if kind == KIND_ISO_LINEAR:
         # kappa(z) = z / exp(2 logl), z = <x, x'> (kernels.jl:189,194 with
         # the IsoKernel l = lengthscale^2 convention at kernels.jl:22).

@@ -441,7 +441,7 @@ def _weighted_root_mll(layout, plan, batch, theta, w):
 
 def make_finetune_vg_bucketed(layout, plan: SPNPlan, batches, leaf_ids,
                               budget: int = 2 << 30, mesh=None,
-                              axis: str = "experts"):
+                              axis: str = "experts", cand_map: int = 8):
     """ALL finetune candidates ``(H [C, P], W [C, L]) -> (leaf mlls
     [C, L], grads [C, P])`` through the size-bucketed chunked programs —
     the large-model finetune path (the monolithic vmapped candidate pass
@@ -453,15 +453,20 @@ def make_finetune_vg_bucketed(layout, plan: SPNPlan, batches, leaf_ids,
     ``_weighted_root_mll``, ≙ ``optimize.jl:92-150``), so it decomposes
     into one VJP per bucket with cotangent ``resp · w``.
 
-    Candidates are evaluated with ``lax.map`` INSIDE each per-bucket
-    program — peak memory stays ONE candidate's chunk workspace, but a
-    full iteration costs 2 dispatches per bucket instead of round 2's
-    per-candidate host loop (144 candidates x 23 buckets x 2 programs
-    ≈ 6.6k dispatches x ~25 ms dispatch floor). With ``mesh``, the
-    candidate axis is sharded across the devices (``shard_map``; C must
-    be a multiple of the mesh size — pad with wrapped rows): candidate
-    evaluations are embarrassingly parallel, ≙ the independence of the
-    reference's round-robin leaf updates (``finetuning.jl:37-57``).
+    Candidates are evaluated ``cand_map`` at a time with ``lax.map``
+    INSIDE each per-bucket program — peak memory stays ONE candidate's
+    chunk workspace, and a full iteration costs ``2·buckets·C/cand_map``
+    dispatches instead of round 2's per-candidate host loop (144
+    candidates x 23 buckets x 2 programs ≈ 6.6k dispatches x ~25 ms
+    dispatch floor). ``cand_map`` is NOT all-candidates-at-once because
+    a 144-iteration map-of-VJP at nmax≈16k crashes the v5e TPU worker
+    (bisected on chip: single grad and map-of-4 are fine, map-of-144
+    dies — a runtime limit, not mathematics; 8 per dispatch is the safe
+    measured-stable point). With ``mesh``, each candidate chunk is
+    sharded across the devices (``shard_map``; ``cand_map`` must be a
+    multiple of the mesh size): candidate evaluations are embarrassingly
+    parallel, ≙ the independence of the reference's round-robin leaf
+    updates (``finetuning.jl:37-57``).
     """
     from .fit import _bucket_chunk
 
@@ -474,6 +479,10 @@ def make_finetune_vg_bucketed(layout, plan: SPNPlan, batches, leaf_ids,
             from jax import shard_map
         except ImportError:  # older jax
             from jax.experimental.shard_map import shard_map
+
+        ndev = mesh.shape[axis]
+        if cand_map % ndev != 0:
+            cand_map = ndev * max(1, cand_map // ndev)
     for b, ids in zip(batches, leaf_ids):
         chunk = _bucket_chunk(b.nmax, b.num_leaves, b.x.dtype, budget)
         f = leaf_mlls_fn(layout, b, chunk if chunk < b.num_leaves else None)
@@ -503,15 +512,21 @@ def make_finetune_vg_bucketed(layout, plan: SPNPlan, batches, leaf_ids,
 
     def vg(H, W):
         C = H.shape[0]
-        mll = jnp.zeros((C, L), H.dtype)
+        pad = (-C) % cand_map
+        Hp = jnp.concatenate([H, H[:pad]], axis=0) if pad else H
+        Wp = jnp.concatenate([W, W[:pad]], axis=0) if pad else W
+        Cp = Hp.shape[0]
+        chunks = [slice(s, s + cand_map) for s in range(0, Cp, cand_map)]
+        mll = jnp.zeros((Cp, L), H.dtype)
         for f, ids in zip(fwd_fns, idx):
-            mll = mll.at[:, ids].set(f(H))
-        rw = resp_v(mll) * W
-        g = None
+            for sl in chunks:
+                mll = mll.at[sl, ids].set(f(Hp[sl]))
+        rw = resp_v(mll) * Wp
+        g = jnp.zeros((Cp, Hp.shape[1]), H.dtype)
         for gfn, ids in zip(vg_fns, idx):
-            gb = gfn(H, rw[:, ids])
-            g = gb if g is None else g + gb
-        return mll, g
+            for sl in chunks:
+                g = g.at[sl].add(gfn(Hp[sl], rw[sl][:, ids]))
+        return mll[:C], g[:C]
 
     return vg
 
@@ -574,7 +589,6 @@ def finetune(
         per_bucket = True  # the candidate-sharded path is the bucketed one
     if per_bucket:
         naxis = None if mesh is None else next(iter(mesh.shape))
-        ndev = 1 if mesh is None else mesh.shape[naxis]
         vg_all = make_finetune_vg_bucketed(
             layout, plan, model.bucket_batches, model.bucket_spec.leaf_ids,
             mesh=mesh, axis=naxis or "experts",
@@ -583,15 +597,12 @@ def finetune(
         apply_fn = jax.jit(
             lambda G, opt_state, H: optimizer.update(-G, opt_state, H)
         )
-        pad = (-L) % ndev
         jdiag = np.arange(L)
 
         def iteration(H, opt_state):
-            Hp = jnp.concatenate([H, H[:pad]], axis=0) if pad else H
-            Wp = jnp.concatenate([Dd, Dd[:pad]], axis=0) if pad else Dd
-            mll_c, G = vg_all(Hp, Wp)
+            mll_c, G = vg_all(H, Dd)  # vg pads candidates internally
             own = np.asarray(mll_c)[jdiag, jdiag]  # candidate j's own mll
-            updates, opt_state = apply_fn(G[:L], opt_state, H)
+            updates, opt_state = apply_fn(G, opt_state, H)
             return optax.apply_updates(H, updates), opt_state, float(own.sum())
     else:
         # gradient of the weighted root mll, plus the leaf's own mll (the

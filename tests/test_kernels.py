@@ -72,9 +72,28 @@ def test_ard_se_memory_lean_paths_match_dense():
         K = gram("ard_se", logl, ls, x1, x2)
         np.testing.assert_allclose(np.asarray(K), np.asarray(dense(logl, ls, x1, x2)),
                                    rtol=1e-12, atol=1e-12)
-        g1 = jax.grad(lambda p: jnp.sum(gram("ard_se", p, ls, x1, x2)))(logl)
-        g2 = jax.grad(lambda p: jnp.sum(dense(p, ls, x1, x2)))(logl)
-        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+        # custom VJP vs autodiff of the dense form: ALL cotangents
+        # (logl, logsigma, x1, x2), with a non-trivial upstream cotangent
+        w = jnp.asarray(r.normal(size=(9, 6)))
+        g1 = jax.grad(
+            lambda p, s, a, b: jnp.sum(w * gram("ard_se", p, s, a, b)),
+            argnums=(0, 1, 2, 3),
+        )(logl, ls, x1, x2)
+        g2 = jax.grad(
+            lambda p, s, a, b: jnp.sum(w * dense(p, s, a, b)),
+            argnums=(0, 1, 2, 3),
+        )(logl, ls, x1, x2)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-10, atol=1e-12)
+        # and under vmap (the batched leaf path)
+        xb1 = jnp.stack([x1, x1 * 0.5])
+        xb2 = jnp.stack([x2, x2 * 2.0])
+        gv = jax.grad(lambda p: jnp.sum(jax.vmap(
+            lambda a, b: gram("ard_se", p, ls, a, b))(xb1, xb2)))(logl)
+        gd = jax.grad(lambda p: jnp.sum(jax.vmap(
+            lambda a, b: dense(p, ls, a, b))(xb1, xb2)))(logl)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(gd),
                                    rtol=1e-10, atol=1e-12)
 
 
