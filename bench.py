@@ -628,6 +628,22 @@ def main():
         run_oracle_chunk(model, x, y, xt, start, count, args.n)
         return
 
+    # Which size buckets route their gram+Cholesky through the fused
+    # Pallas kernel (ops/pallas_chol.supported) vs native XLA — in-situ
+    # record for the headline run (VERDICT r2 item 4).
+    from deepstructuredmixtures_tpu.ops import pallas_chol as _pc
+
+    fused = [
+        (b.nmax, b.num_leaves)
+        for b in model.bucket_batches
+        if _pc.supported(b.nmax, b.x.dtype, model.layout.kinds)
+    ]
+    print(
+        f"fused-chol buckets (nmax, leaves): {fused or 'none'} "
+        f"of {len(model.bucket_batches)} buckets",
+        file=sys.stderr,
+    )
+
     dt_tpu, z_tpu, mean_tpu, var_tpu, mll_tpu = run_tpu(model, xt)
 
     # -- MFU ---------------------------------------------------------------

@@ -271,7 +271,14 @@ def supported(batch_nmax: int, dtype, kinds) -> bool:
     """Whether the fused Pallas path applies: TPU platform (incl. the
     'axon' single-chip tunnel), float32, single-IsoSE kernel mixture,
     VMEM-sized leaves. A positive platform check (not merely != 'cpu'):
-    the kernel uses TPU memory spaces and would crash on GPU backends."""
+    the kernel uses TPU memory spaces and would crash on GPU backends.
+    ``DSMGP_NO_FUSED_CHOL=1`` disables the path globally (ops escape
+    hatch + the A/B switch behind the in-situ measurement in
+    BASELINE.md)."""
+    import os
+
+    if os.environ.get("DSMGP_NO_FUSED_CHOL"):
+        return False
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:  # pragma: no cover

@@ -163,3 +163,49 @@ def test_path_matrix_weights_sum_to_one_per_point():
     for t in range(len(xt)):
         tot = np.exp(pw[member[t]]).sum()
         assert abs(tot - 1.0) < 1e-10
+
+
+def test_bucketize_dp_partition_invariants_and_optimality():
+    """The DP bucketizer (default) must produce a valid partition — every
+    leaf in exactly one bucket, each bucket's nmax covering its largest
+    leaf at the documented pad quantum (128 for Pallas-eligible sizes
+    <= 1024, else 8) — and its padded Cholesky FLOPs must never exceed
+    the geometric grid's at the same bucket-count budget."""
+    from deepstructuredmixtures_tpu.plan import bucketize
+
+    def padded_cost(spec, sizes):
+        return sum(
+            len(ids) * nmax**3
+            for nmax, ids in zip(spec.nmaxs, spec.leaf_ids)
+        )
+
+    sizes = np.array([o.size for o in PLAN.leaf_obs])
+    for seed in range(4):
+        # perturb the tree's size distribution via random sub-plans:
+        # reuse the real plan, plus synthetic heavy-tailed size sets
+        if seed == 0:
+            plan = PLAN
+            sz = sizes
+        else:
+            r = np.random.default_rng(seed)
+            sz = np.unique(
+                r.integers(20, 2000, size=30).astype(np.int64)
+            )
+
+            class _P:  # minimal stand-in: bucketize reads only leaf_obs
+                leaf_obs = [np.arange(s) for s in sz]
+
+            plan = _P()
+        dp = bucketize(plan)
+        geo = bucketize(plan, strategy="geometric")
+
+        flat = np.sort(np.concatenate(dp.leaf_ids))
+        assert np.array_equal(flat, np.arange(len(sz)))  # exact cover
+        for nmax, ids in zip(dp.nmaxs, dp.leaf_ids):
+            mx = max(sz[i] for i in ids)
+            assert nmax >= mx
+            q = 128 if mx <= 1024 else 8
+            assert nmax % q == 0
+            assert nmax - mx < q  # tight: rounded up, not inflated
+        assert len(dp.nmaxs) <= len(geo.nmaxs)
+        assert padded_cost(dp, sz) <= padded_cost(geo, sz) + 1e-6
