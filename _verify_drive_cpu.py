@@ -89,6 +89,19 @@ m3.fit(method="shared")
 assert np.isfinite(m3.mll())
 print("rebuild_schedule OK")
 
+# mixed-precision refined predict (ops/refine.py): f32 model, true-K f64
+# residual refinement — runs, stays near the f32 answer, needs x64
+import jax.numpy as jnp
+m5 = dsm.build_dsmgp(x, y, V=2, K=2, M=25, kernel=dsm.IsoSE(0.0, 0.0),
+                     log_noise=-2.0, seed=4, dtype=jnp.float32)
+m5.update()
+xr = np.linspace(0.1, 0.9, 13).reshape(-1, 1)
+mr0, vr0 = m5.predict(xr)
+mr2, vr2 = m5.predict(xr, refine_steps=2)
+assert np.all(np.isfinite(np.asarray(mr2))) and np.all(np.asarray(vr2) > 0)
+assert np.max(np.abs(np.asarray(mr2) - np.asarray(mr0))) < 1e-2
+print("refined predict OK")
+
 # multichip dryrun (train step + sharded fit + predict parity)
 import __graft_entry__ as g
 g.dryrun_multichip(8)

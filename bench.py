@@ -99,7 +99,7 @@ def build_model(x, y, dtype, m_min):
     )
 
 
-def run_tpu(model, xt, iters=3, budget=2 << 30):
+def run_tpu(model, xt, iters=3, budget=2 << 30, refine_steps=0):
     """Timed fused fit+update+predict on device, size-bucketed.
 
     Timing notes: the axon/TPU dispatch is asynchronous and
@@ -125,7 +125,7 @@ def run_tpu(model, xt, iters=3, budget=2 << 30):
     def program(theta, batches, xtd, tidx_d, tmask_d):
         mu, var, mll = fitlib.bucketed_streamed_predict(
             layout, theta, batches, ids, L, xtd, tidx_d, tmask_d,
-            budget=budget,
+            budget=budget, refine_steps=refine_steps,
         )
         lw_new, z = inferlib.update_weights(plan, mll)
         mean, v = _routed_moment_match(plan, mu, var, lw_new, tidx_d, tmask_d, T)
@@ -583,6 +583,12 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu) — must be set "
                          "before first backend use")
+    ap.add_argument("--refine", type=int, default=0, metavar="K",
+                    help="K mixed-precision refinement steps on the "
+                         "streamed solves (true-K f64 residuals, "
+                         "ops/refine.py): quad term + predictive mean to "
+                         "~1e-6..1e-9 of the f64 oracle at near-f32 "
+                         "speed; implies x64 mode (f32 model dtype)")
     ap.add_argument("--config5", action="store_true",
                     help="BASELINE config 5 at --n: ArdSE D=4, warm-start, "
                          "streamed fit, bucketed finetune, routed predict")
@@ -600,7 +606,7 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    if args.dtype == "f64":
+    if args.dtype == "f64" or args.refine:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
@@ -644,7 +650,9 @@ def main():
         file=sys.stderr,
     )
 
-    dt_tpu, z_tpu, mean_tpu, var_tpu, mll_tpu = run_tpu(model, xt)
+    dt_tpu, z_tpu, mean_tpu, var_tpu, mll_tpu = run_tpu(
+        model, xt, refine_steps=args.refine
+    )
 
     # -- MFU ---------------------------------------------------------------
     tidx, tmask = model._route(xt)
@@ -695,6 +703,10 @@ def main():
         "mfu": mfu,
         "model_tflops": round(flops / 1e12, 3),
     }
+    if args.refine:
+        result["refine_steps"] = args.refine
+        if errs is not None:
+            result["oracle_errors"] = {k: float(v) for k, v in errs.items()}
     if args.dtype is not None:  # explicit-dtype runs report their errors
         result["dtype"] = args.dtype
         if errs is not None:

@@ -307,6 +307,7 @@ def streamed_leaf_predict(
     tidx=None,
     tmask=None,
     chunk: Optional[int] = None,
+    refine_steps: int = 0,
 ):
     """Fused fit+predict in leaf chunks: per chunk recompute the factor,
     solve, and emit per-leaf predictive moments; factors never persist.
@@ -319,6 +320,12 @@ def streamed_leaf_predict(
     share a single forward solve ``Z = L^{-1} [y | K_nt]``, from which
     ``y'α = ||z_y||²`` (mll), ``μ = m + V'z_y`` and the predictive variance
     all follow — no alpha (transposed) solve, no separate y solve.
+
+    ``refine_steps > 0`` (requires x64): iteratively refine the alpha
+    solve against true-K float64 residuals (``ops/refine.py``) — the
+    quad term and predictive MEAN reach ~1e-6..1e-7 of the f64 oracle at
+    a measured ~1.4x the f32 fit cost per step; the variance keeps the
+    f32 bound.
     """
     from .leafgp import (
         centered_y,
@@ -370,13 +377,25 @@ def streamed_leaf_predict(
         Z = chol.solve_lower(Lf, rhs)
         z = Z[..., 0]
         V = Z[..., 1:]
+        ktt = leaf_gram_diag(layout, th, b, xt_leaf)
+        noise = leaf_noise(layout, th, b)
+        var = ktt - jnp.sum(V * V, axis=-2) + noise[:, None]
+        if refine_steps:
+            from .ops import refine
+
+            alpha0 = lax.linalg.triangular_solve(
+                Lf, z[..., None], left_side=True, lower=True,
+                transpose_a=True,
+            )[..., 0]
+            a64 = refine.refine_alpha(layout, th, b, Lf, alpha0,
+                                      refine_steps)
+            mll = refine.refined_mll(b, Lf, a64)
+            mu = refine.refined_mean(layout, th, b, a64, xt_leaf)
+            return mu, var, mll
         mll = leaf_mll_forward(Lf, z, b)
         mu = b.mean[:, None] + jnp.einsum(
             "lnt,ln->lt", V, z, precision=jax.lax.Precision.HIGHEST
         )
-        ktt = leaf_gram_diag(layout, th, b, xt_leaf)
-        noise = leaf_noise(layout, th, b)
-        var = ktt - jnp.sum(V * V, axis=-2) + noise[:, None]
         return mu, var, mll
 
     mu, var, mll = lax.map(body, jnp.arange(nchunks))
@@ -434,9 +453,11 @@ def bucketed_streamed_predict(
     tidx=None,
     tmask=None,
     budget: int = 2 << 30,
+    refine_steps: int = 0,
 ):
     """Fused fit+predict over size buckets. Returns per-leaf moments
-    scattered back to global leaf order: ``(mu [L, T|tmax], var, mll [L])``."""
+    scattered back to global leaf order: ``(mu [L, T|tmax], var, mll [L])``.
+    ``refine_steps``: see :func:`streamed_leaf_predict`."""
     T = xt.shape[0] if tidx is None else tidx.shape[1]
     dt = batches[0].x.dtype
     mu = jnp.zeros((L, T), dtype=dt)
@@ -449,7 +470,8 @@ def bucketed_streamed_predict(
         ti = None if tidx is None else tidx[idx]
         tm = None if tmask is None else tmask[idx]
         mu_b, var_b, mll_b = streamed_leaf_predict(
-            layout, th, b, xt, ti, tm, chunk=chunk
+            layout, th, b, xt, ti, tm, chunk=chunk,
+            refine_steps=refine_steps,
         )
         mu = mu.at[idx].set(mu_b)
         var = var.at[idx].set(var_b)

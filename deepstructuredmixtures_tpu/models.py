@@ -453,7 +453,7 @@ class DSMGP(BaseModel):
             jnp.asarray(var, self.dtype), self.logweights, ti, tm, T,
         )
 
-    def predict(self, xt):
+    def predict(self, xt, refine_steps: int = 0):
         """Routed exact mixture prediction ``(mean [T], var [T])``
         (≙ ``predict(::DSMGP)``, ``common.jl:294-304``).
 
@@ -461,6 +461,11 @@ class DSMGP(BaseModel):
         membership ≙ ``getchild`` recursion), the active per-leaf
         predictions run as one padded batch, and moment matching happens in
         log space with the reference's μmin−1 shift.
+
+        ``refine_steps > 0`` (x64 required, streamed/bucketed models):
+        mixed-precision refinement of the leaf solves against true-K f64
+        residuals — predictive MEAN to ~1e-6..1e-7 of the f64 oracle at
+        near-f32 cost (``ops/refine.py``); variance keeps the f32 bound.
         """
         xt_np = as_2d(np.asarray(xt))
         T = xt_np.shape[0]
@@ -472,17 +477,18 @@ class DSMGP(BaseModel):
             # mesh-resident giant leaves predict through the distributed
             # solves; normal buckets stream as usual
             return self._predict_routed_giant(xt_np, tidx, tmask)
-        if post.chol is None:
+        if post.chol is None or refine_steps:
             # Streamed path: re-derive factors bucket/chunk-wise (large
             # models; factors never persist).
-            key = ("predict_routed_streamed", tmax, T)
+            key = ("predict_routed_streamed", tmax, T, refine_steps)
             if key not in self._jit_cache:
                 layout, plan = self.layout, self.plan
                 ids, L = self.bucket_spec.leaf_ids, self.num_leaves
 
                 def f(theta, batches, lw, xt, tidx, tmask):
                     mu, var, _ = fitlib.bucketed_streamed_predict(
-                        layout, theta, batches, ids, L, xt, tidx, tmask
+                        layout, theta, batches, ids, L, xt, tidx, tmask,
+                        refine_steps=refine_steps,
                     )
                     return _routed_moment_match(plan, mu, var, lw, tidx, tmask, T)
 

@@ -1,0 +1,145 @@
+"""Mixed-precision iterative refinement of the leaf-GP solve (opt-in).
+
+The float32 headline's accuracy floor is the f32 rounding of the STORED
+covariance entries amplified through the inverse (cond(K)*eps_f32 ~ 6e-3
+on the benchmark leaves; BASELINE.md "Where the float32 error comes
+from") — refinement against the stored matrix provably cannot help. This
+module refines against the TRUE kernel matrix instead: each step
+recomputes the residual ``r = y - K alpha`` with a float64 gram built on
+the fly (O(n^2) emulated-f64 work per step — the O(n^3) factorization
+stays f32), then applies the f32 factor as preconditioner. The error
+contracts by ~cond*eps_f32 (~1e-2) per step; measured on the v5e at
+n=8192 (benchmark hypers): quad-term relative error 3.8e-3 (f32) ->
+5.2e-5 -> 5.4e-7 -> 6.5e-9 after 1/2/3 steps, at ~55 ms per step
+(f32 gram+chol+solve of the same leaf: 39 ms).
+
+This is the "double-word storage" middle path of the speed-accuracy
+contract (BASELINE.md) realized TPU-natively: rather than storing the
+gram in two words, the second word is recomputed on demand (bandwidth-
+free, matching this package's recompute-over-cache design). After
+refinement the quad term and predictive mean reach ~1e-6..1e-7; the mll
+is then floored by the f32 factorization's logdet (~8e-6 relative at
+n=8192) and the predictive variance stays at the f32 bound (2.2e-3) —
+both documented in BASELINE.md.
+
+Requires ``jax_enable_x64`` (the residual genuinely runs in f64; without
+x64 JAX silently truncates and the refinement would be a no-op).
+
+Role in the reference: none — the reference is f64 throughout. This is
+the TPU-native answer to its implicit "LAPACK-grade accuracy" contract
+(``/root/reference/src/gaussianprocess.jl:87-108``) at f32 speed.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import EPS
+
+
+def _require_x64():
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "refine_steps > 0 requires jax_enable_x64 (the refinement "
+            "residual runs in float64; without x64 JAX silently truncates "
+            "f64 arrays to f32 and refinement would be a no-op). Call "
+            "jax.config.update('jax_enable_x64', True) before first use."
+        )
+
+
+def _batch64(batch):
+    """Exact f64 view of a (possibly f32) LeafBatch."""
+    return batch._replace(
+        x=batch.x.astype(jnp.float64),
+        y=batch.y.astype(jnp.float64),
+        mean=batch.mean.astype(jnp.float64),
+    )
+
+
+def _true_matvec64(layout, theta64, b64, noise64, alpha64, row_chunk: int):
+    """``(K + (noise+eps) I) @ alpha`` against the TRUE (f64, recomputed)
+    kernel matrix, in row chunks of ``row_chunk`` so the f64 gram never
+    materializes past ``[C, row_chunk, Nmax]``. Padded rows are NOT
+    masked here — callers mask the residual."""
+    from ..leafgp import leaf_gram
+
+    C, nmax = alpha64.shape
+    rc = min(row_chunk, nmax)
+    pad = (-nmax) % rc
+    xp = (
+        jnp.pad(b64.x, ((0, 0), (0, pad), (0, 0)))
+        if pad
+        else b64.x
+    )
+    nblocks = (nmax + pad) // rc
+
+    def body(i, acc):
+        rows = lax.dynamic_slice_in_dim(xp, i * rc, rc, axis=1)
+        bb = b64._replace(x=rows)  # leaf_gram reads x + kernelid
+        Kb = leaf_gram(layout, theta64, bb, x2=b64.x)  # [C, rc, Nmax] f64
+        # zero padded COLUMNS via alpha (padded alpha entries are 0 by the
+        # padding contract), so no column mask is needed
+        out = jnp.einsum("crn,cn->cr", Kb, alpha64)
+        return lax.dynamic_update_slice_in_dim(acc, out, i * rc, axis=1)
+
+    Ka = lax.fori_loop(
+        0, nblocks, body, jnp.zeros((C, nmax + pad), jnp.float64)
+    )[:, :nmax]
+    return Ka + (noise64 + EPS)[:, None] * alpha64
+
+
+def refine_alpha(layout, theta, batch, Lf, alpha0, steps: int,
+                 row_chunk: int = 2048):
+    """``steps`` refinement iterations of ``K alpha = y_centered`` with the
+    f32 factor ``Lf`` as preconditioner and true-K f64 residuals.
+
+    ``batch`` is the (f32) streamed chunk ``[C, Nmax, ...]``; ``alpha0``
+    the f32 alpha from the factor. Returns ``alpha64 [C, Nmax]``."""
+    from ..leafgp import centered_y, leaf_noise
+    from . import cholesky as chol
+
+    _require_x64()
+    b64 = _batch64(batch)
+    theta64 = theta.astype(jnp.float64)
+    noise64 = leaf_noise(layout, theta64, b64)
+    yc64 = centered_y(b64)
+    mask = batch.mask
+
+    def step(_, alpha64):
+        r = yc64 - _true_matvec64(
+            layout, theta64, b64, noise64, alpha64, row_chunk
+        )
+        r = jnp.where(mask, r, 0.0)
+        d = chol.cho_solve_lower(Lf, r.astype(Lf.dtype))
+        return alpha64 + d.astype(jnp.float64)
+
+    return lax.fori_loop(0, steps, step, alpha0.astype(jnp.float64))
+
+
+def refined_mll(batch, Lf, alpha64):
+    """mll with the refined quad term ``y' alpha`` (f64) and the f32
+    factor's logdet (the remaining floor — see module docstring)."""
+    from ..leafgp import LOG2PI, centered_y
+    from . import cholesky as chol
+
+    yc64 = centered_y(_batch64(batch))
+    quad = jnp.sum(yc64 * alpha64, axis=-1)
+    logdet = chol.masked_logdet(Lf, batch.mask).astype(jnp.float64)
+    nn = batch.n.astype(jnp.float64)
+    return (-0.5 * (quad + logdet + nn * LOG2PI)).astype(batch.x.dtype)
+
+
+def refined_mean(layout, theta, batch, alpha64, xt_leaf):
+    """Predictive mean ``m + K_nt' alpha`` with the refined alpha and an
+    f64 cross-gram (O(n t) — cheap next to the refinement itself).
+    ``xt_leaf``: ``[T, D]`` shared or ``[C, T, D]`` routed."""
+    from ..leafgp import leaf_gram
+
+    b64 = _batch64(batch)
+    theta64 = theta.astype(jnp.float64)
+    xt64 = xt_leaf.astype(jnp.float64)
+    Knt = leaf_gram(layout, theta64, b64, xt64)  # [C, Nmax, T] f64
+    Knt = jnp.where(batch.mask[:, :, None], Knt, 0.0)
+    mu = b64.mean[:, None] + jnp.einsum("cnt,cn->ct", Knt, alpha64)
+    return mu.astype(batch.x.dtype)

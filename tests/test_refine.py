@@ -1,0 +1,110 @@
+"""Mixed-precision iterative refinement (ops/refine.py): the f32 streamed
+path's quad term / predictive mean refined against true-K f64 residuals
+must converge toward the f64 oracle far past the f32 floor."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import scipy.linalg as sla
+
+import deepstructuredmixtures_tpu as dsm
+from deepstructuredmixtures_tpu import fit as fitlib
+
+rng = np.random.default_rng(7)
+N = 1200
+X = np.sort(rng.uniform(0.0, 1.0, N)).reshape(-1, 1)
+Y = np.sin(X[:, 0] * 5 * np.pi) + rng.normal(0.0, 0.3, N)
+LOG_NOISE = -3.0  # small noise -> cond(K) ~ n*sigma^2/noise: f32 floor visible
+
+
+def _build():
+    return dsm.build_dsmgp(
+        X, Y, V=2, K=2, M=60, kernel=dsm.IsoSE(0.0, 0.0),
+        log_noise=LOG_NOISE, seed=3, dtype=jnp.float32, do_fit=False,
+    )
+
+
+def _oracle_leaf(model, l, xt):
+    """Full-f64 NumPy mll + predictive mean for one leaf (R&W Alg. 2.1,
+    what the reference's update_cholesky!/prediction compute)."""
+    plan = model.plan
+    obs = plan.leaf_obs[l]
+    xl = X[obs]
+    yl = Y[obs] - plan.leaf_mean[l]
+    noise = np.exp(2 * LOG_NOISE)
+    d2 = ((xl[:, None, :] - xl[None, :, :]) ** 2).sum(-1)
+    K = np.exp(-0.5 * d2)
+    K[np.diag_indices(len(obs))] += noise + 1e-8
+    L = np.linalg.cholesky(K)
+    a = sla.cho_solve((L, True), yl)
+    mll = -0.5 * (
+        yl @ a + 2 * np.log(np.diag(L)).sum() + len(obs) * np.log(2 * np.pi)
+    )
+    d2t = ((xl[:, None, :] - xt[None, :, :]) ** 2).sum(-1)
+    mu = plan.leaf_mean[l] + np.exp(-0.5 * d2t).T @ a
+    return mll, mu
+
+
+def test_refined_mll_and_mean_converge_past_f32_floor():
+    model = _build()
+    xt = np.linspace(0.02, 0.98, 17).reshape(-1, 1)
+    layout = model.layout
+    ids, L = model.bucket_spec.leaf_ids, model.num_leaves
+    xtd = jnp.asarray(xt, jnp.float32)
+
+    runs = {}
+    for steps in (0, 2):
+        mu, _, mll = fitlib.bucketed_streamed_predict(
+            layout, model.theta, model.bucket_batches, ids, L, xtd,
+            refine_steps=steps,
+        )
+        runs[steps] = (np.asarray(mu), np.asarray(mll))
+
+    mll_err = {0: 0.0, 2: 0.0}
+    mu_err = {0: 0.0, 2: 0.0}
+    for l in range(L):
+        mll_o, mu_o = _oracle_leaf(model, l, xt)
+        for s in (0, 2):
+            mll_err[s] = max(mll_err[s], abs(runs[s][1][l] - mll_o) / abs(mll_o))
+            mu_err[s] = max(mu_err[s], np.max(np.abs(runs[s][0][l] - mu_o)))
+
+    # the f32 floor must be visibly beaten, not just nudged
+    assert mll_err[2] < mll_err[0] / 20 or mll_err[2] < 2e-6, (
+        mll_err,
+    )
+    assert mll_err[2] < 5e-6, mll_err
+    assert mu_err[2] < max(mu_err[0] / 20, 5e-6), mu_err
+
+
+def test_model_predict_refine_steps_surface():
+    model = _build()
+    xt = np.linspace(0.05, 0.95, 9).reshape(-1, 1)
+    model.fit(method="batched")
+    model.update()
+    m0, v0 = model.predict(xt)
+    m2, v2 = model.predict(xt, refine_steps=2)
+    # same model, same routing: refined mean close to unrefined (the f32
+    # error is small in absolute terms) but not bitwise identical, and the
+    # variance path is unchanged
+    assert np.max(np.abs(np.asarray(m2) - np.asarray(m0))) < 1e-2
+    assert np.all(np.isfinite(np.asarray(m2)))
+    assert np.all(np.asarray(v2) > 0)
+
+
+def test_refine_requires_x64():
+    from deepstructuredmixtures_tpu.ops import refine
+
+    assert jax.config.jax_enable_x64  # test env invariant (conftest)
+    jax.config.update("jax_enable_x64", False)
+    try:
+        model = _build()
+        try:
+            fitlib.bucketed_streamed_predict(
+                model.layout, model.theta, model.bucket_batches,
+                model.bucket_spec.leaf_ids, model.num_leaves,
+                jnp.asarray(np.zeros((3, 1)), jnp.float32), refine_steps=1,
+            )
+            raise AssertionError("expected RuntimeError without x64")
+        except RuntimeError as e:
+            assert "x64" in str(e)
+    finally:
+        jax.config.update("jax_enable_x64", True)
