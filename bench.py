@@ -90,12 +90,12 @@ def make_data(n, seed=0):
     return x, y
 
 
-def build_model(x, y, dtype, m_min):
+def build_model(x, y, dtype, m_min, depth=2, overlap=True):
     import deepstructuredmixtures_tpu as dsm
 
     return dsm.build_dsmgp(
         x, y, V=3, K=4, M=m_min, kernel=dsm.IsoSE(0.0, 0.0), log_noise=-1.0,
-        seed=0, dtype=dtype, do_fit=False,
+        seed=0, dtype=dtype, do_fit=False, depth=depth, overlap=overlap,
     )
 
 
@@ -108,6 +108,14 @@ def run_tpu(model, xt, iters=3, budget=2 << 30, refine_steps=0):
     scalar log-evidence (which cannot materialize before the whole program
     finishes). Compile + the one-time d2h path setup are excluded via a
     warmup call; the reported time is the minimum over ``iters`` runs.
+
+    ``refine_steps > 0`` compiles ONE PROGRAM PER BUCKET plus a combine
+    program instead of the single fused module: the x64-enabled refined
+    all-bucket module OOM-kills the remote compile helper (the same
+    boundary as the f64 headline compile, BASELINE.md), while per-bucket
+    modules compile fine. The timed loop dispatches every bucket program
+    then the combine, so the reported wall-clock INCLUDES the extra
+    per-bucket dispatch overhead — an honest end-to-end figure.
     """
     import jax
     import jax.numpy as jnp
@@ -120,30 +128,78 @@ def run_tpu(model, xt, iters=3, budget=2 << 30, refine_steps=0):
     T = xt.shape[0]
     layout, plan = model.layout, model.plan
     ids, L = model.bucket_spec.leaf_ids, model.num_leaves
+    tidx_d = jnp.asarray(tidx)
+    tmask_d = jnp.asarray(tmask)
+    xtd = jnp.asarray(xt, model.dtype)
 
-    @jax.jit
-    def program(theta, batches, xtd, tidx_d, tmask_d):
-        mu, var, mll = fitlib.bucketed_streamed_predict(
-            layout, theta, batches, ids, L, xtd, tidx_d, tmask_d,
-            budget=budget, refine_steps=refine_steps,
-        )
-        lw_new, z = inferlib.update_weights(plan, mll)
-        mean, v = _routed_moment_match(plan, mu, var, lw_new, tidx_d, tmask_d, T)
-        return z, mean, v, mll
+    if refine_steps == 0:
 
-    args = (
-        model.theta,
-        model.bucket_batches,
-        jnp.asarray(xt, model.dtype),
-        jnp.asarray(tidx),
-        jnp.asarray(tmask),
-    )
-    out = program(*args)  # compile + warmup (incl. first d2h)
+        @jax.jit
+        def program(theta, batches, xtd, tidx_d, tmask_d):
+            mu, var, mll = fitlib.bucketed_streamed_predict(
+                layout, theta, batches, ids, L, xtd, tidx_d, tmask_d,
+                budget=budget, refine_steps=refine_steps,
+            )
+            lw_new, z = inferlib.update_weights(plan, mll)
+            mean, v = _routed_moment_match(
+                plan, mu, var, lw_new, tidx_d, tmask_d, T
+            )
+            return z, mean, v, mll
+
+        args = (model.theta, model.bucket_batches, xtd, tidx_d, tmask_d)
+
+        def run_once():
+            return program(*args)
+
+    else:
+        dt_model = model.dtype
+
+        def bucket_program(b, bids):
+            bids = jnp.asarray(bids)
+            chunk = fitlib._bucket_chunk(b.nmax, b.num_leaves, b.x.dtype,
+                                         budget)
+
+            @jax.jit
+            def prog(theta, batch, xtd, ti, tm):
+                th = theta if theta.ndim == 1 else theta[bids]
+                return fitlib.streamed_leaf_predict(
+                    layout, th, batch, xtd, ti, tm, chunk=chunk,
+                    refine_steps=refine_steps,
+                )
+
+            return prog, (model.theta, b, xtd, tidx_d[bids], tmask_d[bids])
+
+        progs = [bucket_program(b, bids)
+                 for b, bids in zip(model.bucket_batches, ids)]
+
+        @jax.jit
+        def combine(mus, vars_, mlls):
+            tmax = tidx_d.shape[1]
+            mu = jnp.zeros((L, tmax), dtype=dt_model)
+            var = jnp.ones((L, tmax), dtype=dt_model)
+            mll = jnp.zeros((L,), dtype=dt_model)
+            for bids, m, v, ml in zip(ids, mus, vars_, mlls):
+                idx = jnp.asarray(bids)
+                mu = mu.at[idx].set(m)
+                var = var.at[idx].set(v)
+                mll = mll.at[idx].set(ml)
+            lw_new, z = inferlib.update_weights(plan, mll)
+            mean, vv = _routed_moment_match(
+                plan, mu, var, lw_new, tidx_d, tmask_d, T
+            )
+            return z, mean, vv, mll
+
+        def run_once():
+            outs = [p(*a) for p, a in progs]
+            return combine([o[0] for o in outs], [o[1] for o in outs],
+                           [o[2] for o in outs])
+
+    out = run_once()  # compile + warmup (incl. first d2h)
     _ = float(out[0])
     times = []
     for _i in range(iters):
         t0 = time.perf_counter()
-        out = program(*args)
+        out = run_once()
         z = float(out[0])  # d2h fence: forces program completion
         times.append(time.perf_counter() - t0)
     dt = min(times)
@@ -433,7 +489,8 @@ def run_anchor(args, dtype):
     the stratified estimator's error (BASELINE.md)."""
     x, y = make_data(args.n)
     xt = np.linspace(-0.05, 1.05, args.test).reshape(-1, 1)
-    model = build_model(x, y, dtype, args.m_min)
+    model = build_model(x, y, dtype, args.m_min, depth=args.depth,
+                        overlap=not args.no_overlap)
     plan = model.plan
     theta = np.asarray(model.theta, dtype=np.float64)
     tidx, tmask = model._route(xt)
@@ -571,6 +628,15 @@ def main():
                     help="small sanity run (N=2000)")
     ap.add_argument("--regen-baseline", action="store_true")
     ap.add_argument("--m-min", type=int, default=30)
+    ap.add_argument("--no-overlap", action="store_true",
+                    help="skip the O(L^2 N) overlap/schedule host analysis "
+                         "(shared-fit semantics and finetune unavailable); "
+                         "use for very-large-L scale runs")
+    ap.add_argument("--depth", type=int, default=2,
+                    help="max sum depth of the benchmark tree (default 2 = "
+                         "the 144-leaf headline tree; deeper trees keep leaf "
+                         "sizes bounded at larger N, e.g. --n 1000000 "
+                         "--depth 3)")
     ap.add_argument("--anchor", action="store_true",
                     help="fully-measured CPU baseline at --n (every leaf "
                          "timed); bounds the stratified estimator")
@@ -627,7 +693,8 @@ def main():
 
     x, y = make_data(args.n)
     xt = np.linspace(-0.05, 1.05, args.test).reshape(-1, 1)
-    model = build_model(x, y, dtype, args.m_min)
+    model = build_model(x, y, dtype, args.m_min, depth=args.depth,
+                        overlap=not args.no_overlap)
 
     if args.oracle_chunk is not None:
         start, count = args.oracle_chunk
@@ -662,6 +729,8 @@ def main():
 
     # -- baseline (cached) -------------------------------------------------
     cache_key = f"n{args.n}_t{args.test}_m{args.m_min}"
+    if args.depth != 2:
+        cache_key += f"_d{args.depth}"
     cache = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
@@ -696,7 +765,10 @@ def main():
             json.dump(cache, f, indent=1)
 
     result = {
-        "metric": f"dsmgp_v3k4_fit_update_predict_n{args.n}_t{args.test}_wallclock",
+        "metric": (
+            f"dsmgp_v3k4_fit_update_predict_n{args.n}_t{args.test}_wallclock"
+            + (f"_depth{args.depth}" if args.depth != 2 else "")
+        ),
         "value": round(dt_tpu, 4),
         "unit": "s",
         "vs_baseline": round(base["cpu_seconds"] / dt_tpu, 2),

@@ -133,9 +133,17 @@ def leaf_membership(plan: SPNPlan, xt, dtype=None):
 
 def path_logweights(plan: SPNPlan, logweights):
     """Per-leaf mixture log-weight = sum of sum-edge log-weights on the
-    root-to-leaf path ``[L]``."""
-    P = jnp.asarray(plan.path_matrix, dtype=logweights.dtype)
-    return P @ logweights
+    root-to-leaf path ``[L]``.
+
+    Uses the sparse ``[L, Pmax]`` path form (each path has only O(depth)
+    sum edges): the dense ``[L, E]`` matmul would embed an O(L·E) constant
+    in the jitted program — ~1 GB at scale-frontier leaf counts, enough to
+    overflow the remote-compile request."""
+    idx = jnp.asarray(plan.path_edges)
+    msk = jnp.asarray(plan.path_mask)
+    lw = jnp.concatenate([logweights, jnp.zeros((1,), logweights.dtype)])
+    gathered = lw[jnp.where(msk, idx, logweights.shape[0])]
+    return jnp.sum(gathered, axis=1)
 
 
 def predict_poe(mu, var):

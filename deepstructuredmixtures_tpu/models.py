@@ -155,6 +155,12 @@ class BaseModel:
                 "hypers; factor reuse is invalid — using method='batched'"
             )
             method = "batched"
+        if method == "shared" and self.schedule is None:
+            raise ValueError(
+                "fit(method='shared') needs the factor-reuse schedule, but "
+                "this model was built with overlap=False; rebuild with "
+                "overlap=True"
+            )
         t0 = time.perf_counter()
         if store == "light":
             if method == "shared":
@@ -616,15 +622,16 @@ def _resolve_pad_multiple(pad_multiple, dtype, kernels):
     return 8
 
 
-def _build_common(x, y, config: DSMGPConfig, seed, dtype, tau, pad_multiple=None):
+def _build_common(x, y, config: DSMGPConfig, seed, dtype, tau, pad_multiple=None,
+                  overlap=True):
     dtype = dtype or default_dtype()
     pad_multiple = _resolve_pad_multiple(pad_multiple, dtype, config.kernels)
     x = as_2d(x)
     y = np.asarray(y, dtype=np.float64).reshape(-1)
     rng = np.random.default_rng(seed)
     root = build_tree(x, y, config, rng)
-    plan = compile_tree(root, x, pad_multiple=pad_multiple)
-    schedule = build_schedule(plan, tau=tau)
+    plan = compile_tree(root, x, pad_multiple=pad_multiple, overlap=overlap)
+    schedule = build_schedule(plan, tau=tau) if overlap else None
     batch = plan.leaf_batch(x, y, dtype)
     kernels = normalize_kernels(config.kernels)
     layout = make_layout(kernels)
@@ -650,6 +657,7 @@ def build_dsmgp(
     dtype=None,
     do_fit: bool = True,
     pad_multiple: Optional[int] = None,
+    overlap: bool = True,
 ) -> DSMGP:
     """Build a DSMGP (≙ ``buildDSMGP``, ``treeStructure.jl:328-339``).
 
@@ -658,10 +666,15 @@ def build_dsmgp(
     max sum depth. ``pad_multiple=128`` makes the padded leaf batch
     eligible for the fused Pallas gram+Cholesky kernel on TPU
     (``ops/pallas_chol.py``; f32, IsoSE, leaves <= 1024).
+    ``overlap=False`` skips the O(L²·N) overlap/schedule host analysis
+    (see :func:`plan.compile_tree`) — batched fit/predict/train work as
+    usual; ``fit(method='shared')``, ``rebuild_schedule`` and
+    ``finetune`` need it and will raise.
     """
     kernel = kernel if kernel is not None else IsoSE(1.0, 1.0)
     config = DSMGPConfig(mean_fun, kernel, log_noise, M, K, V, depth, eps, sum_root)
-    model = DSMGP(*_build_common(x, y, config, seed, dtype, tau, pad_multiple))
+    model = DSMGP(*_build_common(x, y, config, seed, dtype, tau, pad_multiple,
+                                 overlap=overlap))
     if do_fit:
         model.fit()  # initial posterior fit (≙ treeStructure.jl:434)
     return model

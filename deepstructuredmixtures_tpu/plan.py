@@ -63,8 +63,10 @@ class SPNPlan:
     edge_is_leaf_sum: np.ndarray  # [E] bool
     edge_neg_logk: np.ndarray  # [E]
     path_matrix: np.ndarray  # [L, E] 0/1 — sum edges on each leaf's path
+    path_edges: np.ndarray  # [L, Pmax] int32 — sparse form of path_matrix
+    path_mask: np.ndarray  # [L, Pmax] bool
     root_child_id: np.ndarray  # [L] subtree index under a split root
-    overlap: np.ndarray  # [L, L] — the D matrix
+    overlap: Optional[np.ndarray]  # [L, L] — the D matrix (None if skipped)
 
     def leaf_batch(self, X: np.ndarray, y: np.ndarray, dtype) -> LeafBatch:
         """Gather the padded leaf data arrays from the global dataset."""
@@ -97,7 +99,17 @@ def compile_tree(
     root: TreeNode,
     X: np.ndarray,
     pad_multiple: int = 8,
+    overlap: bool = True,
 ) -> SPNPlan:
+    """Flatten the host-side tree into a static SPN plan.
+
+    ``overlap=False`` skips the O(L²·N) leaf-overlap analysis (the D
+    matrix, ≙ ``getOverlap``, ``fit.jl:12-39``) — it is consumed only by
+    the shared-Cholesky schedule and finetune's D-row weighting, and at
+    very large leaf counts (e.g. N=1M scale-frontier trees with >10k
+    leaves) the pairwise bitmask pass dominates host build time. The
+    plan's ``overlap`` field is then ``None``; ``build_schedule`` and
+    ``finetune`` raise a clear error pointing back here."""
     N, D = X.shape
     leaves = get_leaves(root)
     for i, leaf in enumerate(leaves):
@@ -198,17 +210,30 @@ def compile_tree(
 
     # --- leaf paths (sum edges from root to each leaf) -------------------
     path = np.zeros((L, max(n_edges, 1)), dtype=np.float64)
+    leaf_edges: List[List[int]] = [[] for _ in range(L)]
 
     def walk(node, edges):
         if isinstance(node, LeafNode):
             for e in edges:
                 path[node.index, e] = 1.0
+            leaf_edges[node.index] = list(edges)
             return
         for c_i, c in enumerate(node.children):
             extra = [edge_of[id(node)][c_i]] if isinstance(node, SumNode) else []
             walk(c, edges + extra)
 
     walk(root, [])
+
+    # Sparse path form: each leaf's path crosses only O(depth) sum edges,
+    # so the jitted mixture-weight gather uses [L, Pmax] indices instead of
+    # the dense [L, E] matrix (which at scale-frontier leaf counts would be
+    # embedded as a ~GB HLO constant and overflow the compile request).
+    pmax = max((len(e) for e in leaf_edges), default=0)
+    path_edges = np.zeros((L, max(pmax, 1)), dtype=np.int32)
+    path_mask = np.zeros((L, max(pmax, 1)), dtype=bool)
+    for i, es in enumerate(leaf_edges):
+        path_edges[i, : len(es)] = es
+        path_mask[i, : len(es)] = True
 
     # --- root-child group ids (PoE/gPoE/rBCM fusion grouping) ------------
     root_child = np.zeros(L, dtype=np.int32)
@@ -218,20 +243,21 @@ def compile_tree(
                 root_child[leaf.index] = c_i
 
     # --- overlap matrix D (≙ getOverlap, fit.jl:12-39) -------------------
-    from .utils.native import intersect_counts
-
-    masks = np.zeros((L, N), dtype=bool)
-    for i, leaf in enumerate(leaves):
-        masks[i, leaf.obs] = True
-    inter = intersect_counts(masks).astype(np.float64)
     sizes = np.array([l.obs.size for l in leaves], dtype=np.float64)
     kids = np.array([l.kernelid for l in leaves], dtype=np.int64)
-    Dmat = np.zeros((L, L), dtype=np.float64)
+    if overlap:
+        from .utils.native import intersect_counts
 
-    def overlap(node) -> List[int]:
+        masks = np.zeros((L, N), dtype=bool)
+        for i, leaf in enumerate(leaves):
+            masks[i, leaf.obs] = True
+        inter = intersect_counts(masks).astype(np.float64)
+    Dmat = np.zeros((L, L), dtype=np.float64) if overlap else None
+
+    def _overlap_walk(node) -> List[int]:
         if isinstance(node, LeafNode):
             return [node.index]
-        grps = [overlap(c) for c in node.children]
+        grps = [_overlap_walk(c) for c in node.children]
         if isinstance(node, SumNode):
             for a in range(len(grps)):
                 for b in range(a + 1, len(grps)):
@@ -248,7 +274,8 @@ def compile_tree(
                     )
         return [i for g in grps for i in g]
 
-    overlap(root)
+    if overlap:
+        _overlap_walk(root)
 
     return SPNPlan(
         num_leaves=L,
@@ -267,6 +294,8 @@ def compile_tree(
         edge_is_leaf_sum=np.asarray(edge_leaf_sum, dtype=bool),
         edge_neg_logk=np.asarray(edge_neg_logk, dtype=np.float64),
         path_matrix=path,
+        path_edges=path_edges,
+        path_mask=path_mask,
         root_child_id=root_child,
         overlap=Dmat,
     )
@@ -500,6 +529,12 @@ def build_schedule(plan: SPNPlan, tau: float = 0.05) -> SharedSchedule:
     leaves are always fully factorized (the reference factorizes them on
     first use, ``fit.jl:97-100``).
     """
+    if plan.overlap is None:
+        raise ValueError(
+            "this plan was compiled with overlap=False (no D matrix); "
+            "rebuild the model with overlap=True to use the shared-"
+            "Cholesky schedule"
+        )
     D = plan.overlap
     L = plan.num_leaves
     obs = plan.leaf_obs

@@ -573,6 +573,12 @@ def finetune(
         H = jnp.broadcast_to(theta0, (L,) + theta0.shape).astype(model.dtype)
     else:
         H = theta0
+    if plan.overlap is None:
+        raise ValueError(
+            "finetune needs the leaf-overlap matrix D for its row "
+            "weighting (finetuning.jl:54); this model was built with "
+            "overlap=False — rebuild with overlap=True"
+        )
     Dd = plan.overlap.copy()
     np.fill_diagonal(Dd, self_weight)
     Dd = jnp.asarray(Dd, dtype=model.dtype)

@@ -209,3 +209,34 @@ def test_bucketize_dp_partition_invariants_and_optimality():
             assert nmax - mx < q  # tight: rounded up, not inflated
         assert len(dp.nmaxs) <= len(geo.nmaxs)
         assert padded_cost(dp, sz) <= padded_cost(geo, sz) + 1e-6
+
+
+def test_overlap_optout_batched_parity_and_guards():
+    """overlap=False skips the O(L^2 N) D-matrix analysis: batched
+    fit/update/predict are bit-identical to an overlap=True build, while
+    the D-dependent surfaces (shared schedule, rebuild_schedule, finetune)
+    raise clear errors pointing at the flag."""
+    import optax
+    import pytest
+
+    m_full = dsm.build_dsmgp(X, Y, V=2, K=3, M=25, kernel=dsm.IsoSE(0.0, 0.0),
+                             log_noise=-1.0, seed=3, do_fit=False)
+    m_no = dsm.build_dsmgp(X, Y, V=2, K=3, M=25, kernel=dsm.IsoSE(0.0, 0.0),
+                           log_noise=-1.0, seed=3, do_fit=False, overlap=False)
+    assert m_no.D is None and m_no.schedule is None
+    m_full.fit(method="batched")
+    m_no.fit(method="batched")
+    z_f, z_n = m_full.update(), m_no.update()
+    assert z_f == z_n
+    xt = np.linspace(-0.05, 1.05, 37).reshape(-1, 1)
+    mu_f, var_f = m_full.predict(xt)
+    mu_n, var_n = m_no.predict(xt)
+    np.testing.assert_array_equal(np.asarray(mu_f), np.asarray(mu_n))
+    np.testing.assert_array_equal(np.asarray(var_f), np.asarray(var_n))
+
+    with pytest.raises(ValueError, match="overlap"):
+        m_no.fit(method="shared")
+    with pytest.raises(ValueError, match="overlap"):
+        m_no.rebuild_schedule(0.1)
+    with pytest.raises(ValueError, match="overlap"):
+        dsm.finetune(m_no, optax.adam(1e-2), iterations=1, progress=False)
