@@ -99,7 +99,8 @@ def build_model(x, y, dtype, m_min, depth=2, overlap=True):
     )
 
 
-def run_tpu(model, xt, iters=3, budget=2 << 30, refine_steps=0):
+def run_tpu(model, xt, iters=3, budget=2 << 30, refine_steps=0,
+            split=None):
     """Timed fused fit+update+predict on device, size-bucketed.
 
     Timing notes: the axon/TPU dispatch is asynchronous and
@@ -109,13 +110,15 @@ def run_tpu(model, xt, iters=3, budget=2 << 30, refine_steps=0):
     finishes). Compile + the one-time d2h path setup are excluded via a
     warmup call; the reported time is the minimum over ``iters`` runs.
 
-    ``refine_steps > 0`` compiles ONE PROGRAM PER BUCKET plus a combine
-    program instead of the single fused module: the x64-enabled refined
-    all-bucket module OOM-kills the remote compile helper (the same
-    boundary as the f64 headline compile, BASELINE.md), while per-bucket
-    modules compile fine. The timed loop dispatches every bucket program
-    then the combine, so the reported wall-clock INCLUDES the extra
-    per-bucket dispatch overhead — an honest end-to-end figure.
+    ``split`` compiles ONE PROGRAM PER BUCKET plus a combine program
+    instead of the single fused module. Defaults to ``refine_steps > 0``
+    (the x64-enabled refined all-bucket module OOM-kills the remote
+    compile helper — the same boundary as the f64 headline compile,
+    BASELINE.md); also needed for scale-frontier trees whose 40+-bucket
+    f32 module is itself too big to compile (N=1M). The timed loop
+    dispatches every bucket program then the combine, so the reported
+    wall-clock INCLUDES the extra per-bucket dispatch overhead — an
+    honest end-to-end figure.
     """
     import jax
     import jax.numpy as jnp
@@ -131,8 +134,10 @@ def run_tpu(model, xt, iters=3, budget=2 << 30, refine_steps=0):
     tidx_d = jnp.asarray(tidx)
     tmask_d = jnp.asarray(tmask)
     xtd = jnp.asarray(xt, model.dtype)
+    if split is None:
+        split = refine_steps > 0
 
-    if refine_steps == 0:
+    if not split:
 
         @jax.jit
         def program(theta, batches, xtd, tidx_d, tmask_d):
@@ -628,6 +633,11 @@ def main():
                     help="small sanity run (N=2000)")
     ap.add_argument("--regen-baseline", action="store_true")
     ap.add_argument("--m-min", type=int, default=30)
+    ap.add_argument("--split-buckets", action="store_true",
+                    help="compile one program per size bucket instead of "
+                         "the monolithic fused module (required when the "
+                         "module exceeds the remote compile helper's "
+                         "memory, e.g. --n 1000000; implied by --refine)")
     ap.add_argument("--no-overlap", action="store_true",
                     help="skip the O(L^2 N) overlap/schedule host analysis "
                          "(shared-fit semantics and finetune unavailable); "
@@ -718,7 +728,8 @@ def main():
     )
 
     dt_tpu, z_tpu, mean_tpu, var_tpu, mll_tpu = run_tpu(
-        model, xt, refine_steps=args.refine
+        model, xt, refine_steps=args.refine,
+        split=True if args.split_buckets else None,
     )
 
     # -- MFU ---------------------------------------------------------------

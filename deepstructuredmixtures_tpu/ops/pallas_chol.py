@@ -29,8 +29,12 @@ Validated against float64 Cholesky oracles in ``tests/test_pallas_chol.py``
 MEASURED (v5e single core, [L=64, N=512], dispatch amortized over 8
 applications per program, d2h-fenced): XLA gram+cholesky 9.56 ms/app;
 round-1 single-leaf-per-program fused kernel ~20 ms (sweep-latency
-bound); THIS stacked kernel 7.58 ms/app with G=8 — **1.26x faster than
-XLA** (G=4: 1.14x), max relative logdet deviation 1.2e-6. The win comes
+bound); the stacked kernel measured 7.58 ms/app with G=8 in round 2 —
+1.26x faster than XLA. The round-3 Mosaic toolchain allocates deeper
+block pipelines at grid lengths >= ~4 (see ``_VERIFIED_G``), capping
+G at 4 for N=512; re-measured at G=4: fused 8.29 ms/app vs XLA
+9.47 ms/app — **1.14x faster**, max relative logdet deviation 2.1e-7
+vs the XLA factors. The win comes
 from amortizing the per-column sequential latency across G leaves; the
 residual gap to the MXU roofline is the [G, B, B] full-tile rank-1
 updates of the diagonal-block sweep, which run on the VPU and cost about
@@ -52,20 +56,29 @@ BLOCK = 128
 MAX_VMEM_N = 1024
 
 
-def leaves_per_program(nmax: int) -> int:
-    """How many leaves one grid program stacks: bounded by VMEM residency.
+#: Compile-verified stacking factors, v5e Mosaic (round 3): every legal
+#: nmax (multiple of 128, <= MAX_VMEM_N) probed on the chip at grid
+#: lengths up to ~800 programs — the largest G whose scoped-VMEM
+#: footprint compiles at ANY grid length. Two earlier schemes broke:
+#: (a) a budget FORMULA (round 2's G=5@640 anchor stopped compiling on
+#: the round-3 toolchain), and (b) grid-length-dependent sizing —
+#: Mosaic's pipelining depth (how many in-flight block buffers it
+#: allocates) GROWS with the grid length in steps (measured: 640/G=4 OK
+#: at grid 3, VMEM-OOM at grid 8; 640/G=3 OK at grid 100, OOM at grid
+#: 267; 384/G=8 OK at grid 25, OOM at grid 100), so only values stable
+#: at the longest grids are safe. Re-probe when Mosaic changes.
+_VERIFIED_G = {128: 8, 256: 8, 384: 6, 512: 4, 640: 2, 768: 2, 896: 1,
+               1024: 1}
 
-    The per-program working set is the [G, N, N] output block plus ~2 N²
-    floats of per-leaf gram temporaries (d2/cross live briefly per
-    unrolled leaf) plus [G, N, B] panel tiles. Mosaic's scoped-vmem limit
-    is 16 MiB; compile-measured on v5e: N=512 G=8 OK, N=640 G=5 OK,
-    N=1024 G=2 OOM at 21.05 MiB. The 11.5 MiB budget constant is the
-    largest that reproduces ALL measured anchors (G=8@512, G=5@640,
-    G=1@1024) — a 13 MiB budget would predict G=6 at N=640, which was
-    never compile-verified; intermediate multiples of 128 stay on the
-    conservative side of the verified points."""
-    b = nmax * nmax * 4
-    return max(1, min(8, ((23 << 19) - 2 * b) // b))
+
+def leaves_per_program(nmax: int) -> int:
+    """How many leaves one grid program stacks: bounded by VMEM residency
+    (the [G, N, N] output block, its pipeline copies, and per-leaf gram
+    temporaries against Mosaic's 16 MiB scoped-vmem limit). Values are
+    compile-verified per size at long grids (``_VERIFIED_G``); sizes
+    outside the table (only possible if MAX_VMEM_N grows) fall back
+    to 1."""
+    return _VERIFIED_G.get(nmax, 1)
 
 
 def _fused_kernel(n_ref, logl_ref, logsigma_ref, noise_ref, x_ref, out_ref,
