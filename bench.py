@@ -177,9 +177,13 @@ def run_tpu(model, xt, iters=3, budget=2 << 30, refine_steps=0,
         progs = [bucket_program(b, bids)
                  for b, bids in zip(model.bucket_batches, ids)]
 
+        # tidx/tmask enter as ARGUMENTS: closing over device arrays embeds
+        # them as mlir constants, which both duplicates them on HBM and
+        # forces a d2h fetch at trace time (observed to fail with
+        # RESOURCE_EXHAUSTED at N=1M right after the 43 bucket programs).
         @jax.jit
-        def combine(mus, vars_, mlls):
-            tmax = tidx_d.shape[1]
+        def combine(mus, vars_, mlls, ti, tm):
+            tmax = ti.shape[1]
             mu = jnp.zeros((L, tmax), dtype=dt_model)
             var = jnp.ones((L, tmax), dtype=dt_model)
             mll = jnp.zeros((L,), dtype=dt_model)
@@ -190,14 +194,50 @@ def run_tpu(model, xt, iters=3, budget=2 << 30, refine_steps=0,
                 mll = mll.at[idx].set(ml)
             lw_new, z = inferlib.update_weights(plan, mll)
             mean, vv = _routed_moment_match(
-                plan, mu, var, lw_new, tidx_d, tmask_d, T
+                plan, mu, var, lw_new, ti, tm, T
             )
             return z, mean, vv, mll
 
+        # When any bucket's covariance workspace is multi-GB, EVERY
+        # program is fenced after dispatch: async enqueue lets the
+        # runtime overlap queued programs' temp allocations, and at N=1M
+        # (nmax up to ~33k -> ~4.4 GB per [n, n] buffer, ~13 GB peak per
+        # giant program measured standalone-OK) any overlap exhausts the
+        # 16 GB HBM. The fences add ~25 ms per bucket — ~1 s against the
+        # multi-minute run, included in the reported wall-clock.
+        fence_all = any(b.nmax * b.nmax * 12 > (1 << 30)
+                        for b in model.bucket_batches)
+
+        # Giants first: the multi-GB contiguous workspaces allocate while
+        # the device heap is least fragmented (observed: the 30k-leaf
+        # bucket OOMs after 40 smaller buckets ran, yet succeeds in
+        # isolation — fragmentation, not capacity).
+        dispatch_order = sorted(
+            range(len(progs)),
+            key=lambda k: -model.bucket_batches[k].nmax,
+        )
+
         def run_once():
-            outs = [p(*a) for p, a in progs]
+            outs_by = {}
+            for bi in dispatch_order:
+                p, a = progs[bi]
+                o = p(*a)
+                if fence_all:
+                    # a d2h fetch, not just block_until_ready: on the
+                    # remote backend execution errors surface only at
+                    # transfer, so this both serializes workspaces and
+                    # attributes any failure to its bucket
+                    try:
+                        np.asarray(o[2])
+                    except Exception as e:
+                        raise RuntimeError(
+                            f"bucket {bi} (nmax="
+                            f"{model.bucket_batches[bi].nmax}) failed"
+                        ) from e
+                outs_by[bi] = o
+            outs = [outs_by[k] for k in range(len(progs))]
             return combine([o[0] for o in outs], [o[1] for o in outs],
-                           [o[2] for o in outs])
+                           [o[2] for o in outs], tidx_d, tmask_d)
 
     out = run_once()  # compile + warmup (incl. first d2h)
     _ = float(out[0])
@@ -625,6 +665,101 @@ def run_config5(args, dtype):
     }))
 
 
+def run_giant_mesh(args, dtype):
+    """Scale-frontier mode: fit+update+predict through the PUBLIC model
+    API with oversized leaves routed to the distributed blocked Cholesky
+    on a single-device mesh (``model.fit(mesh=, giant_leaf_bytes=)``).
+
+    Rationale, measured at N=1M/depth=4 (max leaf 33,303): the streamed
+    XLA body holds ~3 [n, n] covariance buffers (gram temp + Kn + factor,
+    ~13.3 GB at n=33k) — standalone that fits the 16 GB HBM, but with the
+    model's resident bucket data it exhausts HBM. The blocked dist_chol
+    factorization keeps the factor as an in-place (donated) loop carry —
+    ~1 buffer — so the giant leaves fit; normal buckets stream as usual.
+    The reference cannot represent this scale at all (one CPU, one
+    process, hours per potrf).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from jax.sharding import Mesh
+
+    x, y = make_data(args.n)
+    xt = np.linspace(-0.05, 1.05, args.test).reshape(-1, 1)
+    t0 = time.perf_counter()
+    model = build_model(x, y, dtype, args.m_min, depth=args.depth,
+                        overlap=not args.no_overlap)
+    t_build = time.perf_counter() - t0
+    mesh = Mesh(np.array(jax.devices()[:1]), ("x",))
+
+    def once():
+        t_fit = model.fit(mesh=mesh, giant_leaf_bytes=args.giant_mesh)
+        z = model.update()
+        t0 = time.perf_counter()
+        mean, var = model.predict(xt)
+        mean = np.asarray(mean)
+        var = np.asarray(var)
+        t_pred = time.perf_counter() - t0
+        return t_fit, float(z), mean, var, t_pred
+
+    t_fit_cold, z, mean, var, t_pred_cold = once()   # includes compiles
+    t_fit, z2, mean2, var2, t_pred = once()          # warm
+    assert z == z2
+    mll_tpu = np.asarray(model.leaf_mlls())
+
+    # spot-check the smallest + the giant leaves against f64 NumPy
+    plan = model.plan
+    tidx, tmask = model._route(xt)
+    sizes = np.array([o.size for o in plan.leaf_obs])
+    theta64 = np.asarray(model.theta, dtype=np.float64)
+    picks = list(np.argsort(sizes)[:2]) + list(np.argsort(sizes)[-2:])
+    worst = 0.0
+    for l in picks:
+        _, mll_l, _, _ = _cpu_leaf_work(x, y, xt, plan, theta64, int(l),
+                                        tidx, tmask)
+        worst = max(worst, abs(mll_tpu[l] - mll_l) / max(1.0, abs(mll_l)))
+
+    flops = model_flops(plan, tidx, tmask)
+    peak = peak_flops(jax.devices()[0])
+    t_total = t_fit + t_pred
+    cache_key = (f"n{args.n}_t{args.test}_m{args.m_min}_d{args.depth}"
+                 "_giantmesh")
+    cache = {}
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cache = json.load(f)
+    if args.regen_baseline or cache_key not in cache:
+        dt_cpu, n_sampled, _ = run_cpu_baseline(model, x, y, xt)
+        cache[cache_key] = {
+            "cpu_seconds": dt_cpu,
+            "sampled_leaves": n_sampled,
+            "platform": "numpy-f64-1core-stratified-standin",
+        }
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(cache, f, indent=1)
+    base = cache[cache_key]
+    print(json.dumps({
+        "metric": (f"dsmgp_v3k4_fit_update_predict_n{args.n}_t{args.test}"
+                   f"_depth{args.depth}_giantmesh"),
+        "value": round(t_total, 4),
+        "unit": "s",
+        "vs_baseline": round(base["cpu_seconds"] / t_total, 2),
+        "mfu": round(flops / t_total / peak, 4) if peak else None,
+        "model_tflops": round(flops / 1e12, 3),
+        "fit_s": round(t_fit, 4),
+        "predict_s": round(t_pred, 4),
+        "fit_cold_s": round(t_fit_cold, 1),
+        "predict_cold_s": round(t_pred_cold, 1),
+        "build_s": round(t_build, 1),
+        "leaves": int(model.num_leaves),
+        "max_leaf": int(sizes.max()),
+        "distributed_leaves": int(
+            model.last_fit_diagnostics["distributed_leaves"]),
+        "log_evidence": round(float(z), 3),
+        "max_rel_err_spot_leaf_mll_vs_f64": float(worst),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
@@ -633,6 +768,13 @@ def main():
                     help="small sanity run (N=2000)")
     ap.add_argument("--regen-baseline", action="store_true")
     ap.add_argument("--m-min", type=int, default=30)
+    ap.add_argument("--giant-mesh", type=int, default=0, metavar="BYTES",
+                    help="scale-frontier mode: route leaves whose [n, n] "
+                         "covariance exceeds BYTES through the blocked "
+                         "distributed Cholesky on a single-device mesh "
+                         "(model.fit(mesh=, giant_leaf_bytes=)); times the "
+                         "public-API fit+update+predict instead of the "
+                         "fused program")
     ap.add_argument("--split-buckets", action="store_true",
                     help="compile one program per size bucket instead of "
                          "the monolithic fused module (required when the "
@@ -699,6 +841,9 @@ def main():
         return
     if args.config5:
         run_config5(args, dtype)
+        return
+    if args.giant_mesh:
+        run_giant_mesh(args, dtype)
         return
 
     x, y = make_data(args.n)

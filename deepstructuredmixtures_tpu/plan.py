@@ -339,7 +339,14 @@ def _bucketize_geometric(sizes, base: int, growth: float) -> BucketSpec:
     nmaxs, ids = [], []
     for k in sorted(set(keys.tolist())):
         sel = np.where(keys == k)[0].astype(np.int32)
-        nmaxs.append(int(grid[k]))
+        # Tighten nmax to the bucket's ACTUAL largest member (rounded to
+        # the pad quantum) instead of the grid point: the grid only
+        # assigns membership. Cuts up to growth³ (~1.33x) padded FLOPs —
+        # and, for multi-GB covariance buffers at the scale frontier,
+        # the corresponding HBM (a 33k leaf padded to the 36.4k grid
+        # point costs an extra 0.9 GB per [n, n] f32 buffer).
+        mx = int(sizes[sel].max())
+        nmaxs.append(_round_up(mx, _bucket_quantum(mx)))
         ids.append(sel)
     return BucketSpec(tuple(nmaxs), tuple(ids))
 
