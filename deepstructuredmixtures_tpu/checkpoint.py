@@ -86,6 +86,9 @@ def _meta(model) -> dict:
             for k in kernels
         ],
         "dtype": jnp.dtype(model.dtype).name,
+        # False for models built with overlap=False (no D matrix /
+        # shared schedule) — restore skips the O(L^2 N) analysis too
+        "overlap": model.plan.overlap is not None,
     }
 
 
@@ -165,8 +168,9 @@ def _restore(meta, data, dtype=None):
     X = np.asarray(data["X"])
     y = np.asarray(data["y"])
 
-    plan = compile_tree(root, X)
-    schedule = build_schedule(plan)
+    overlap = bool(meta.get("overlap", True))
+    plan = compile_tree(root, X, overlap=overlap)
+    schedule = build_schedule(plan) if overlap else None
     batch = plan.leaf_batch(X, y, dtype)
     layout = make_layout(kernels)
     cls = getattr(modelslib, meta["class"])

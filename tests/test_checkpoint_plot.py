@@ -121,3 +121,25 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2), atol=1e-12)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-12)
     assert abs(m2.update() - z) < 1e-12
+
+
+def test_checkpoint_roundtrip_overlap_false(tmp_path):
+    """A model built with overlap=False round-trips WITHOUT re-running the
+    O(L^2 N) overlap analysis: the restored plan has no D matrix and no
+    schedule, and predictions are bit-identical."""
+    from deepstructuredmixtures_tpu.checkpoint import load, save
+
+    rng = np.random.default_rng(1)
+    x = np.sort(rng.uniform(0, 1, 150)).reshape(-1, 1)
+    y = np.sin(x[:, 0] * 5) + 0.1 * rng.standard_normal(150)
+    m = dsm.build_dsmgp(x, y, V=2, K=2, M=15, kernel=dsm.IsoSE(0.1, -0.2),
+                        log_noise=-1.0, seed=4, overlap=False)
+    m.update()
+    path = str(tmp_path / "ckpt_nooverlap.npz")
+    save(m, path)
+    m2 = load(path)
+    assert m2.D is None and m2.schedule is None
+    xt = np.linspace(0, 1, 19).reshape(-1, 1)
+    np.testing.assert_array_equal(
+        np.asarray(m.predict(xt)[0]), np.asarray(m2.predict(xt)[0])
+    )
