@@ -89,6 +89,10 @@ def _meta(model) -> dict:
         # False for models built with overlap=False (no D matrix /
         # shared schedule) — restore skips the O(L^2 N) analysis too
         "overlap": model.plan.overlap is not None,
+        # restore must recompile with the SAME leaf-pad quantum, or a
+        # TPU-default build (128 — fused-Pallas-eligible) would silently
+        # come back with the flat default 8 and lose kernel eligibility
+        "pad_multiple": int(model.plan.pad_multiple),
     }
 
 
@@ -169,7 +173,8 @@ def _restore(meta, data, dtype=None):
     y = np.asarray(data["y"])
 
     overlap = bool(meta.get("overlap", True))
-    plan = compile_tree(root, X, overlap=overlap)
+    plan = compile_tree(root, X, overlap=overlap,
+                        pad_multiple=int(meta.get("pad_multiple", 8)))
     schedule = build_schedule(plan) if overlap else None
     batch = plan.leaf_batch(X, y, dtype)
     layout = make_layout(kernels)

@@ -114,7 +114,8 @@ class BaseModel:
 
     def fit(self, method: str = "auto", safe: bool = True,
             store: str = "auto", chunk=None, mesh=None,
-            giant_leaf_bytes: int = 4 << 30, block: int = 256) -> float:
+            giant_leaf_bytes: int = 4 << 30, block: int = 256,
+            axis=None) -> float:
         """Refit all leaf posteriors; returns wall-clock seconds like the
         reference ``fit!`` (``fit.jl:88,121``).
 
@@ -136,10 +137,12 @@ class BaseModel:
         HBM (SURVEY §5; ≙ removing the reference's one-host cap on
         ``gaussianprocess.jl:87-108``). Remaining leaves fit through the
         normal bucketed streaming path; their sharded factors stay
-        resident on the mesh for prediction.
+        resident on the mesh for prediction. ``axis``: the single mesh
+        axis to shard giant leaves over (required on multi-axis meshes).
         """
         if mesh is not None:
-            return self._fit_mesh(mesh, giant_leaf_bytes, block, chunk)
+            return self._fit_mesh(mesh, giant_leaf_bytes, block, chunk,
+                                  axis=axis)
         self._giant = None
         if store == "auto":
             store = "full" if self._factor_bytes() <= (2 << 30) else "light"
@@ -213,7 +216,7 @@ class BaseModel:
         return self.fit(method="batched")
 
     def _fit_mesh(self, mesh, giant_leaf_bytes: int, block: int,
-                  chunk=None) -> float:
+                  chunk=None, axis=None) -> float:
         """Bucketed light fit with oversized leaves routed through the
         distributed Cholesky (see :meth:`fit` ``mesh=``)."""
         from .hyper import unpack
@@ -225,7 +228,15 @@ class BaseModel:
                 "model through the standard builders"
             )
         t0 = time.perf_counter()
-        axis = next(iter(mesh.shape))
+        if axis is None:
+            if len(mesh.shape) > 1:
+                raise ValueError(
+                    "fit(mesh=...) shards giant leaves over a single mesh "
+                    f"axis; this mesh has axes {tuple(mesh.shape)} — pass "
+                    "axis='name' (the other axes stay UNUSED) or reshape "
+                    "the mesh to one axis"
+                )
+            axis = next(iter(mesh.shape))
         ndev = mesh.shape[axis]
         tile = ndev * block
         itemsize = jnp.dtype(self.dtype).itemsize
@@ -273,6 +284,7 @@ class BaseModel:
         self._giant = giant
         self._giant_cfg = (mesh, axis, block)
         self._giant_normal = (tuple(normal_batches), tuple(normal_ids))
+        self._giant_jit = {}  # per-fit cache of normal-bucket programs
         self.last_fit_diagnostics = {
             "delete_fallbacks": 0, "continue_fallbacks": 0,
             "distributed_leaves": len(giant),
@@ -368,11 +380,22 @@ class BaseModel:
             mu = np.zeros((L, T))
             var = np.ones((L, T))
             if nb:
-                mu_b, var_b, _ = fitlib.bucketed_streamed_predict(
-                    self.layout, self.theta, nb, nids, L, xt
-                )
-                mu = np.asarray(mu_b, dtype=np.float64)
-                var = np.asarray(var_b, dtype=np.float64)
+                key = ("all", T)
+                if key not in self._giant_jit:
+                    layout = self.layout
+
+                    def f(th, batches, x, nids=nids, L=L):
+                        mu, var, _ = fitlib.bucketed_streamed_predict(
+                            layout, th, batches, nids, L, x
+                        )
+                        return mu, var
+
+                    self._giant_jit[key] = jax.jit(f)
+                mu_b, var_b = self._giant_jit[key](self.theta, nb, xt)
+                # np.array: writable copies (np.asarray of a jax array in
+                # the matching dtype is a read-only zero-copy view)
+                mu = np.array(mu_b, dtype=np.float64)
+                var = np.array(var_b, dtype=np.float64)
             for leaf_id in self._giant:
                 mu_l, var_l = self._giant_leaf_predict(leaf_id, xt)
                 mu[leaf_id] = np.asarray(mu_l)
@@ -444,9 +467,18 @@ class DSMGP(BaseModel):
         mu = np.zeros((L, tmax))
         var = np.ones((L, tmax))
         if nb:
-            mu_b, var_b, _ = fitlib.bucketed_streamed_predict(
-                self.layout, self.theta, nb, nids, L, xt, ti, tm
-            )
+            key = ("routed", tmax)
+            if key not in self._giant_jit:
+                layout = self.layout
+
+                def f(th, batches, x, ti, tm, nids=nids, L=L):
+                    mu, var, _ = fitlib.bucketed_streamed_predict(
+                        layout, th, batches, nids, L, x, ti, tm
+                    )
+                    return mu, var
+
+                self._giant_jit[key] = jax.jit(f)
+            mu_b, var_b = self._giant_jit[key](self.theta, nb, xt, ti, tm)
             mu = np.array(mu_b, dtype=np.float64)  # writable copies
             var = np.array(var_b, dtype=np.float64)
         for leaf_id in self._giant:
@@ -480,6 +512,12 @@ class DSMGP(BaseModel):
 
         post = self._ensure_posterior()
         if getattr(self, "_giant", None):
+            if refine_steps:
+                raise ValueError(
+                    "refine_steps is not supported after fit(mesh=...) — "
+                    "the distributed giant-leaf solves have no refinement "
+                    "path; refit without a mesh for refined prediction"
+                )
             # mesh-resident giant leaves predict through the distributed
             # solves; normal buckets stream as usual
             return self._predict_routed_giant(xt_np, tidx, tmask)

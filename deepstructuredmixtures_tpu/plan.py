@@ -67,6 +67,7 @@ class SPNPlan:
     path_mask: np.ndarray  # [L, Pmax] bool
     root_child_id: np.ndarray  # [L] subtree index under a split root
     overlap: Optional[np.ndarray]  # [L, L] — the D matrix (None if skipped)
+    pad_multiple: int = 8  # leaf-pad quantum the plan was compiled with
 
     def leaf_batch(self, X: np.ndarray, y: np.ndarray, dtype) -> LeafBatch:
         """Gather the padded leaf data arrays from the global dataset."""
@@ -298,6 +299,7 @@ def compile_tree(
         path_mask=path_mask,
         root_child_id=root_child,
         overlap=Dmat,
+        pad_multiple=pad_multiple,
     )
 
 
@@ -376,9 +378,9 @@ def bucketize(plan: SPNPlan, base: int = 128, growth: float = 1.1,
     K = len(geo.nmaxs)
     order = np.argsort(sizes, kind="stable")
     s = sizes[order].astype(np.float64)
-    up = np.where(  # pad quantum: 128 for Pallas-eligible small buckets
-        s <= 1024, np.ceil(s / 128.0) * 128.0, np.ceil(s / 8.0) * 8.0
-    )
+    q = np.fromiter((_bucket_quantum(v) for v in s), dtype=np.float64,
+                    count=len(s))
+    up = np.ceil(s / q) * q  # pad to the same quantum rule as the grid
     n = len(s)
     INF = np.inf
     dp = np.full((n + 1, K + 1), INF)

@@ -513,8 +513,14 @@ def make_finetune_vg_bucketed(layout, plan: SPNPlan, batches, leaf_ids,
     def vg(H, W):
         C = H.shape[0]
         pad = (-C) % cand_map
-        Hp = jnp.concatenate([H, H[:pad]], axis=0) if pad else H
-        Wp = jnp.concatenate([W, W[:pad]], axis=0) if pad else W
+        if pad:
+            # tile (not slice): pad may exceed C (e.g. 3 candidates on an
+            # 8-device mesh), and the sharded path needs Cp % cand_map == 0
+            rep = jnp.arange(C + pad) % C
+            Hp = jnp.take(H, rep, axis=0)
+            Wp = jnp.take(W, rep, axis=0)
+        else:
+            Hp, Wp = H, W
         Cp = Hp.shape[0]
         chunks = [slice(s, s + cand_map) for s in range(0, Cp, cand_map)]
         mll = jnp.zeros((Cp, L), H.dtype)

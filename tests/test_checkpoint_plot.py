@@ -123,6 +123,25 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert abs(m2.update() - z) < 1e-12
 
 
+def test_checkpoint_preserves_pad_multiple(tmp_path):
+    """Restore recompiles the plan with the SAME leaf-pad quantum: a
+    TPU-default build (pad_multiple=128, fused-Pallas-eligible) must not
+    come back with the flat default 8 and silently lose kernel
+    eligibility."""
+    m = dsm.build_dsmgp(X, Y, V=1, K=2, M=20, kernel=dsm.IsoSE(0.3, 0.1),
+                        log_noise=-1.0, seed=5, pad_multiple=128)
+    assert m.plan.pad_multiple == 128 and m.batch.nmax % 128 == 0
+    p = str(tmp_path / "pad128.npz")
+    checkpoint.save(m, p)
+    m2 = checkpoint.load(p)
+    assert m2.plan.pad_multiple == 128
+    assert m2.batch.nmax == m.batch.nmax
+    np.testing.assert_allclose(
+        np.asarray(m2.predict(XT)[0]), np.asarray(m.predict(XT)[0]),
+        atol=1e-12,
+    )
+
+
 def test_checkpoint_roundtrip_overlap_false(tmp_path):
     """A model built with overlap=False round-trips WITHOUT re-running the
     O(L^2 N) overlap analysis: the restored plan has no D matrix and no

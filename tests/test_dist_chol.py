@@ -231,6 +231,33 @@ def test_tree_model_oversized_leaves_route_to_dist_chol():
     np.testing.assert_allclose(np.asarray(mu_d), np.asarray(mu_r), atol=1e-8)
     np.testing.assert_allclose(np.asarray(var_d), np.asarray(var_r), atol=1e-8)
 
+    # MIXED normal+giant PoE predict: exercises the writable-copy fix in
+    # _leaf_predict_all (np.asarray of a float64 jax array is a read-only
+    # zero-copy view; assigning giant rows into it crashed)
+    p_m = dsm.build_poe(x, y, K=3, M=40, kernel=dsm.IsoSE(0.0, 0.0),
+                        log_noise=-1.0, seed=4, do_fit=False)
+    psizes = sorted(b.nmax for b in p_m.bucket_batches)
+    if len(psizes) > 1:
+        p_m.fit(mesh=mesh, giant_leaf_bytes=(psizes[-2] ** 2) * 8, block=16)
+        assert 0 < p_m.last_fit_diagnostics["distributed_leaves"] < p_m.num_leaves
+        mu_m, var_m = p_m.predict(xt)
+        np.testing.assert_allclose(np.asarray(mu_m), np.asarray(mu_r), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(var_m), np.asarray(var_r), atol=1e-8)
+
+    # refine after fit(mesh=) has no distributed path -> explicit error
+    import pytest
+
+    with pytest.raises(ValueError, match="refine_steps"):
+        m_d.predict(xt, refine_steps=1)
+
+    # multi-axis meshes need an explicit axis
+    import jax
+    from jax.sharding import Mesh
+
+    multi = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("a", "b"))
+    with pytest.raises(ValueError, match="single mesh axis"):
+        m_d.fit(mesh=multi, giant_leaf_bytes=1, block=16)
+
     # set_params invalidates the mesh-resident factors
     m_d.set_params(np.asarray(m_d.get_params()) + 0.1)
     assert m_d._giant is None

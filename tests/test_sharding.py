@@ -208,6 +208,25 @@ def test_finetune_with_mesh_matches_single_device():
                                atol=1e-8)
 
 
+def test_finetune_with_mesh_fewer_candidates_than_devices():
+    """Candidate padding must TILE when the leaf count is below the mesh
+    size (3 candidates on 8 devices): slicing H[:pad] under-pads and
+    shard_map rejects the non-divisible axis."""
+    m1 = dsm.build_dsmgp(X, Y, V=1, K=3, M=80, kernel=dsm.IsoSE(0.0, 0.0),
+                         log_noise=-1.0, seed=7, do_fit=False)
+    m2 = dsm.build_dsmgp(X, Y, V=1, K=3, M=80, kernel=dsm.IsoSE(0.0, 0.0),
+                         log_noise=-1.0, seed=7, do_fit=False)
+    assert m1.num_leaves < 8, "test needs fewer leaves than devices"
+    mesh = make_mesh(8)
+    h1 = dsm.finetune(m1, optax.adam(1e-2), iterations=2, lam=1e-9,
+                      bucketed=True, progress=False)
+    h2 = dsm.finetune(m2, optax.adam(1e-2), iterations=2, lam=1e-9,
+                      mesh=mesh, progress=False)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(m1.theta), np.asarray(m2.theta),
+                               atol=1e-8)
+
+
 def test_batch_actually_sharded():
     m = _model()
     mesh = make_mesh(8)
