@@ -441,7 +441,9 @@ def _weighted_root_mll(layout, plan, batch, theta, w):
 
 def make_finetune_vg_bucketed(layout, plan: SPNPlan, batches, leaf_ids,
                               budget: int = 2 << 30, mesh=None,
-                              axis: str = "experts", cand_map: int = 8):
+                              axis: str = "experts", cand_map: int = 8,
+                              sparse: Optional[bool] = None,
+                              pair_map: int = 8):
     """ALL finetune candidates ``(H [C, P], W [C, L]) -> (leaf mlls
     [C, L], grads [C, P])`` through the size-bucketed chunked programs —
     the large-model finetune path (the monolithic vmapped candidate pass
@@ -467,6 +469,23 @@ def make_finetune_vg_bucketed(layout, plan: SPNPlan, batches, leaf_ids,
     multiple of the mesh size): candidate evaluations are embarrassingly
     parallel, ≙ the independence of the reference's round-robin leaf
     updates (``finetuning.jl:37-57``).
+
+    ``sparse``: exploit the zero pattern of ``W`` in the BACKWARD pass.
+    Candidate j's gradient is ``Σ_l resp_jl · w_jl · d mll_l/dθ`` — leaves
+    with ``w_jl == 0`` (non-overlapping leaves: the overlap row ``D[j,:]``
+    is ~10% dense on the benchmark tree, ``fit.jl:12-39``) contribute
+    NOTHING, so the VJP is evaluated only over the (candidate, leaf) pairs
+    with nonzero weight: ONE program per bucket gathers the host-built
+    pair list, runs single-leaf VJPs (``lax.map`` with a VMEM-budgeted
+    ``batch_size``) and segment-sums per candidate — one dispatch per
+    bucket (a host-side per-pair-chunk loop was measured 17x slower
+    through the single-chip tunnel's dispatch latency). Exactly the dense
+    gradient (gated in ``test_train.py``), ~10x less backward compute at
+    benchmark density. ``None`` (auto) uses the sparse path when ``W`` is
+    < 25% dense; ``pair_map`` is only the sharded pair-axis pad quantum
+    on a mesh. The forward pass is unchanged (every leaf's mll is needed
+    for the responsibilities and the early-stop value,
+    ``finetuning.jl:44-51``).
     """
     from .fit import _bucket_chunk
 
@@ -483,6 +502,9 @@ def make_finetune_vg_bucketed(layout, plan: SPNPlan, batches, leaf_ids,
         ndev = mesh.shape[axis]
         if cand_map % ndev != 0:
             cand_map = ndev * max(1, cand_map // ndev)
+        if pair_map % ndev != 0:
+            pair_map = ndev * max(1, pair_map // ndev)
+    pair_fns = []
     for b, ids in zip(batches, leaf_ids):
         chunk = _bucket_chunk(b.nmax, b.num_leaves, b.x.dtype, budget)
         f = leaf_mlls_fn(layout, b, chunk if chunk < b.num_leaves else None)
@@ -497,18 +519,74 @@ def make_finetune_vg_bucketed(layout, plan: SPNPlan, batches, leaf_ids,
 
             return lax.map(one, (Hc, RWc))
 
+        # pairs-per-vmap-chunk inside the pair program: bounded by the
+        # single-pair VJP workspace (~6 [nmax, nmax] buffers)
+        bs = max(1, min(
+            64, int((2 << 30) // (6 * b.nmax ** 2 * b.x.dtype.itemsize))
+        ))
+
+        def pair_vjp(Hf, rw_b, jq, iq, vq, b=b, bs=bs):
+            # ONE program per bucket: gather (candidate, leaf) pairs,
+            # single-leaf VJPs chunked by lax.map(batch_size=bs),
+            # segment-sum per candidate. One dispatch instead of the
+            # 5-per-chunk host loop (measured 17x slower through the
+            # single-chip tunnel's dispatch latency). ``vq`` masks padded
+            # pairs (zero cotangent -> zero contribution).
+            C = Hf.shape[0]
+
+            def one(args):
+                th, i, rw = args
+
+                def obj(t):
+                    b1 = LeafBatch(*[
+                        lax.dynamic_slice_in_dim(a, i, 1, axis=0) for a in b
+                    ])
+                    return rw * _chunk_leaf_mll(layout, t, b1)[0]
+
+                return jax.grad(obj)(th)
+
+            rwq = rw_b[jq, iq] * vq
+            gps = lax.map(one, (Hf[jq], iq, rwq), batch_size=bs)
+            return jax.ops.segment_sum(gps, jq, num_segments=C)
+
         if mesh is not None:
             fwd = shard_map(fwd, mesh=mesh, in_specs=(P(axis),),
                             out_specs=P(axis), check_vma=False)
             vjp = shard_map(vjp, mesh=mesh, in_specs=(P(axis), P(axis)),
                             out_specs=P(axis), check_vma=False)
+
+            def pair_vjp(Hf, rw_b, jq, iq, vq, pv=pair_vjp, mesh=mesh):
+                # pairs are sharded over the mesh; candidate grads psum
+                def body(Hf, rw_b, jq, iq, vq):
+                    return lax.psum(pv(Hf, rw_b, jq, iq, vq), axis)
+
+                return shard_map(
+                    body, mesh=mesh,
+                    in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+                    out_specs=P(), check_vma=False,
+                )(Hf, rw_b, jq, iq, vq)
+
         fwd_fns.append(jax.jit(fwd))
         vg_fns.append(jax.jit(vjp))
+        pair_fns.append(jax.jit(pair_vjp))
         idx.append(jnp.asarray(ids))
 
     resp_v = jax.jit(jax.vmap(
         lambda mll: inferlib.leaf_responsibilities(plan, mll)
     ))
+    pair_cache = {}  # W zero-pattern -> per-bucket (jj, ii) pair arrays
+
+    def _pairs_for(Wh):
+        key = Wh.tobytes()
+        if pair_cache.get("key") != key:
+            pair_cache.clear()
+            pair_cache["key"] = key
+            plists = []
+            for ids in leaf_ids:
+                jj, ii = np.nonzero(Wh[:, np.asarray(ids)])
+                plists.append((jj.astype(np.int32), ii.astype(np.int32)))
+            pair_cache["pairs"] = plists
+        return pair_cache["pairs"]
 
     def vg(H, W):
         C = H.shape[0]
@@ -528,10 +606,33 @@ def make_finetune_vg_bucketed(layout, plan: SPNPlan, batches, leaf_ids,
             for sl in chunks:
                 mll = mll.at[sl, ids].set(f(Hp[sl]))
         rw = resp_v(mll) * Wp
+
+        Wh = np.asarray(W) != 0
+        use_sparse = sparse
+        if use_sparse is None:
+            use_sparse = Wh.mean() < 0.25
         g = jnp.zeros((Cp, Hp.shape[1]), H.dtype)
-        for gfn, ids in zip(vg_fns, idx):
-            for sl in chunks:
-                g = g.at[sl].add(gfn(Hp[sl], rw[sl][:, ids]))
+        if not use_sparse:
+            for gfn, ids in zip(vg_fns, idx):
+                for sl in chunks:
+                    g = g.at[sl].add(gfn(Hp[sl], rw[sl][:, ids]))
+            return mll[:C], g[:C]
+
+        for (jj, ii), pfn, ids in zip(_pairs_for(Wh), pair_fns, idx):
+            Q = jj.size
+            if Q == 0:
+                continue
+            # mesh: pad the sharded pair axis to the device count (padded
+            # pairs are masked out via vq); single device: no padding
+            # (lax.map's batch_size handles the remainder)
+            qpad = (-Q) % pair_map if mesh is not None else 0
+            vv = np.ones(Q + qpad, dtype=np.asarray(H).dtype)
+            if qpad:
+                jj = np.concatenate([jj, np.zeros(qpad, np.int32)])
+                ii = np.concatenate([ii, np.zeros(qpad, np.int32)])
+                vv[Q:] = 0.0
+            g = g + pfn(Hp, rw[:, ids], jnp.asarray(jj), jnp.asarray(ii),
+                        jnp.asarray(vv))
         return mll[:C], g[:C]
 
     return vg

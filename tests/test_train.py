@@ -214,6 +214,32 @@ def test_finetune_kernel_mixture_parity():
     assert h1[-1] > h1[0]
 
 
+def test_finetune_sparse_backward_matches_dense():
+    """The sparse pair-list backward (only (candidate, leaf) pairs with
+    nonzero overlap weight are differentiated) must equal the dense
+    all-pairs VJP exactly — the zero-weight VJPs it skips contribute
+    nothing (≙ the D-row weighting of ``optimize.jl:92-150``). Covers
+    pair padding (pair_map > pairs in the smallest bucket) and a
+    candidate whose row is diagonal-only."""
+    from deepstructuredmixtures_tpu.train import make_finetune_vg_bucketed
+
+    m = _model(seed=8, V=2, K=3)
+    L = m.num_leaves
+    H = np.tile(np.asarray(m.theta), (L, 1))
+    H[:, 0] += np.linspace(-0.2, 0.2, L)
+    Dd = m.plan.overlap.copy()
+    np.fill_diagonal(Dd, 1.0)
+    Dd[0, 1:] = 0.0  # candidate 0: self-weight only
+    args = (m.layout, m.plan, m.bucket_batches, m.bucket_spec.leaf_ids)
+    vg_d = make_finetune_vg_bucketed(*args, sparse=False)
+    vg_s = make_finetune_vg_bucketed(*args, sparse=True, pair_map=16)
+    md, gd = vg_d(jnp.asarray(H), jnp.asarray(Dd))
+    ms, gs = vg_s(jnp.asarray(H), jnp.asarray(Dd))
+    np.testing.assert_allclose(np.asarray(md), np.asarray(ms), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gs),
+                               atol=1e-10, rtol=1e-10)
+
+
 def test_finetune_bucketed_path_end_to_end():
     """finetune(bucketed=True) runs the large-model per-bucket candidate
     path end to end and lands on the same hypers as the monolithic path
