@@ -443,6 +443,113 @@ def bucketed_leaf_mlls(layout: HyperLayout, theta, batches, leaf_ids, L,
     return mll
 
 
+def streamed_leaf_alphas(layout: HyperLayout, theta, batch: LeafBatch,
+                         chunk: Optional[int] = None):
+    """``(mll [L], alpha [L, Nmax])`` in leaf chunks — the light fit plus
+    the TRANSPOSED solve, caching the O(N)-sized weights the predictive
+    mean needs (``gp.α``, ``gaussianprocess.jl:105``) while the O(N²)
+    factors still never persist. Costs one extra single-rhs triangular
+    solve per chunk over :func:`fit_light` (latency-bound, ~7 ms at
+    n≈11k on v5e) and Σ n_l floats of storage — the basis of the exact
+    O(n·t) serving mean path (:func:`bucketed_alpha_mean`)."""
+    from .leafgp import centered_y, leaf_mll_forward
+
+    chunk = min(chunk or default_chunk(batch.nmax, batch.x.dtype),
+                batch.num_leaves)
+    bpad, _ = _pad_batch(batch, chunk)
+    L = batch.num_leaves
+    nchunks = bpad.num_leaves // chunk
+    if theta.ndim == 2 and theta.shape[0] != bpad.num_leaves:
+        theta = jnp.concatenate(
+            [theta,
+             jnp.zeros((bpad.num_leaves - L,) + theta.shape[1:], theta.dtype)]
+        )
+
+    def body(i):
+        sl = lambda a: lax.dynamic_slice_in_dim(a, i * chunk, chunk, axis=0)
+        b = LeafBatch(*[sl(a) for a in bpad])
+        th = theta if theta.ndim == 1 else sl(theta)
+        Lf = _maybe_pallas_chol(layout, th, b)
+        if Lf is None:
+            Kn = _noisy_gram(layout, th, b)
+            Lf = chol.cholesky_nosym(Kn)
+        yc = centered_y(b)
+        z = chol.solve_lower(Lf, yc[..., None])
+        alpha = lax.linalg.triangular_solve(
+            Lf, z, left_side=True, lower=True, transpose_a=True
+        )[..., 0]
+        return leaf_mll_forward(Lf, z[..., 0], b), alpha
+
+    mll, alpha = lax.map(body, jnp.arange(nchunks))
+    return (mll.reshape(-1)[:L],
+            alpha.reshape((-1, alpha.shape[-1]))[:L])
+
+
+def bucketed_leaf_alphas(layout: HyperLayout, theta, batches, leaf_ids, L,
+                         budget: int = 2 << 30,
+                         chunk: Optional[int] = None):
+    """All leaf mlls [L] plus per-bucket alpha weights (tuple of
+    ``[Lb, nmax_b]``, bucket order) — :func:`bucketed_leaf_mlls` with the
+    alpha cache for the serving mean fast path."""
+    mll = jnp.zeros((L,), dtype=batches[0].x.dtype)
+    alphas = []
+    for b, ids in zip(batches, leaf_ids):
+        th = theta if theta.ndim == 1 else theta[jnp.asarray(ids)]
+        c = chunk if chunk is not None else _bucket_chunk(
+            b.nmax, b.num_leaves, b.x.dtype, budget
+        )
+        mll_b, a_b = streamed_leaf_alphas(layout, th, b, chunk=c)
+        mll = mll.at[jnp.asarray(ids)].set(mll_b)
+        alphas.append(a_b)
+    return mll, tuple(alphas)
+
+
+def bucketed_alpha_mean(layout: HyperLayout, theta, batches, leaf_ids, L,
+                        alphas, xt, tidx, budget: int = 2 << 30):
+    """Routed predictive MEAN [L, tmax] from cached alpha weights: one
+    cross-gram contraction per leaf chunk — O(n·t) work per leaf, NO
+    factorization. Exact (``μ = m + K_nt' α``, ``gaussianprocess.jl:118``):
+    the serving fast path for models too large to cache factors. The
+    variance is NOT computable from alpha alone (it needs triangular
+    solves against the factor) — callers wanting variance use the
+    streamed path."""
+    T = tidx.shape[1]
+    dt = batches[0].x.dtype
+    mu = jnp.zeros((L, T), dtype=dt)
+    item = jnp.dtype(dt).itemsize
+    for b, ids, a_b in zip(batches, leaf_ids, alphas):
+        idx = jnp.asarray(ids)
+        th = theta if theta.ndim == 1 else theta[idx]
+        # peak buffer is the [chunk, nmax, tmax] cross gram (+workspace)
+        c = max(1, min(int(budget // (3 * b.nmax * max(T, 1) * item)),
+                       b.num_leaves))
+        bpad, pad = _pad_batch(b, c)
+        Lb, Lp = b.num_leaves, b.num_leaves + pad
+
+        def padr(a):
+            z = jnp.zeros((pad,) + a.shape[1:], dtype=a.dtype)
+            return jnp.concatenate([a, z], axis=0) if pad else a
+
+        ti_p = padr(tidx[idx])
+        a_p = padr(a_b)
+        th_p = th if th.ndim == 1 else padr(th)
+
+        def body(i, bpad=bpad, th_p=th_p, ti_p=ti_p, a_p=a_p, c=c):
+            sl = lambda a: lax.dynamic_slice_in_dim(a, i * c, c, axis=0)
+            bb = LeafBatch(*[sl(a) for a in bpad])
+            tt = th_p if th_p.ndim == 1 else sl(th_p)
+            Knt = leaf_gram(layout, tt, bb, xt[sl(ti_p)])  # [c, nmax, tmax]
+            Knt = jnp.where(bb.mask[:, :, None], Knt, 0.0)
+            return bb.mean[:, None] + jnp.einsum(
+                "lnt,ln->lt", Knt, sl(a_p),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        mu_b = lax.map(body, jnp.arange(Lp // c))
+        mu = mu.at[idx].set(mu_b.reshape((-1, T))[:Lb])
+    return mu
+
+
 def bucketed_streamed_predict(
     layout: HyperLayout,
     theta,

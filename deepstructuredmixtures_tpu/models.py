@@ -63,6 +63,7 @@ class BaseModel:
         self.logweights = jnp.asarray(plan.init_logweights, dtype=dtype)
         self.posterior: Optional[LeafPosterior] = None
         self._giant = None  # mesh-resident oversized-leaf factors
+        self._alpha_cache = None  # per-bucket alpha weights (light fit)
         self._jit_cache = {}
         # size-bucketed batches (plan.BucketSpec) for the streaming paths
         if X is not None and y is not None:
@@ -115,7 +116,7 @@ class BaseModel:
     def fit(self, method: str = "auto", safe: bool = True,
             store: str = "auto", chunk=None, mesh=None,
             giant_leaf_bytes: int = 4 << 30, block: int = 256,
-            axis=None) -> float:
+            axis=None, cache_alpha: bool = True) -> float:
         """Refit all leaf posteriors; returns wall-clock seconds like the
         reference ``fit!`` (``fit.jl:88,121``).
 
@@ -129,6 +130,14 @@ class BaseModel:
         repeated prediction; ``'light'`` keeps only the leaf mlls
         (prediction then streams factor recomputation chunk-wise);
         ``'auto'`` picks by memory footprint.
+
+        ``cache_alpha`` (light store only): additionally keep the
+        per-leaf alpha weights (Σ n_l floats — a few MB even at N=100k)
+        so ``predict(xt, return_var=False)`` serves the exact predictive
+        MEAN with one O(n·t) cross-gram pass instead of streaming the
+        full O(n³) refactorization. Costs one extra latency-bound
+        single-rhs triangular solve per leaf chunk at fit time (~2% of
+        the headline light fit).
 
         ``mesh``: route leaves whose single covariance exceeds
         ``giant_leaf_bytes`` through the distributed blocked Cholesky
@@ -144,6 +153,7 @@ class BaseModel:
             return self._fit_mesh(mesh, giant_leaf_bytes, block, chunk,
                                   axis=axis)
         self._giant = None
+        self._alpha_cache = None  # stale under any refit; light re-derives
         if store == "auto":
             store = "full" if self._factor_bytes() <= (2 << 30) else "light"
         if method == "shared" and self.theta.ndim == 2:
@@ -175,18 +185,26 @@ class BaseModel:
                     "need the full [L, Nmax, Nmax] factor cache) — using "
                     "the batched light path"
                 )
-            key = ("fit_light_bucketed", chunk)
+            key = ("fit_light_bucketed", chunk, cache_alpha)
             if key not in self._jit_cache:
                 layout, ids, L = self.layout, self.bucket_spec.leaf_ids, self.num_leaves
 
-                def f(th, batches):
-                    mll = fitlib.bucketed_leaf_mlls(
-                        layout, th, batches, ids, L, chunk=chunk
-                    )
-                    return LeafPosterior(None, None, mll)
+                if cache_alpha:
+                    def f(th, batches):
+                        return fitlib.bucketed_leaf_alphas(
+                            layout, th, batches, ids, L, chunk=chunk
+                        )
+                else:
+                    def f(th, batches):
+                        mll = fitlib.bucketed_leaf_mlls(
+                            layout, th, batches, ids, L, chunk=chunk
+                        )
+                        return mll, None
 
                 self._jit_cache[key] = jax.jit(f)
-            post = self._jit_cache[key](self.theta, self.bucket_batches)
+            mll, alphas = self._jit_cache[key](self.theta, self.bucket_batches)
+            post = LeafPosterior(None, None, mll)
+            self._alpha_cache = alphas
             self.last_fit_diagnostics = {"delete_fallbacks": 0,
                                          "continue_fallbacks": 0}
         else:
@@ -227,6 +245,7 @@ class BaseModel:
                 "fit(mesh=...) needs the raw training data; build the "
                 "model through the standard builders"
             )
+        self._alpha_cache = None
         t0 = time.perf_counter()
         if axis is None:
             if len(mesh.shape) > 1:
@@ -367,6 +386,7 @@ class BaseModel:
         self.theta = jnp.asarray(theta, dtype=self.dtype)
         self.posterior = None
         self._giant = None  # mesh-resident factors are hyper-stale now
+        self._alpha_cache = None
 
     # -- prediction helpers -----------------------------------------------
     def _leaf_predict_all(self, xt):
@@ -491,7 +511,7 @@ class DSMGP(BaseModel):
             jnp.asarray(var, self.dtype), self.logweights, ti, tm, T,
         )
 
-    def predict(self, xt, refine_steps: int = 0):
+    def predict(self, xt, refine_steps: int = 0, return_var: bool = True):
         """Routed exact mixture prediction ``(mean [T], var [T])``
         (≙ ``predict(::DSMGP)``, ``common.jl:294-304``).
 
@@ -504,6 +524,15 @@ class DSMGP(BaseModel):
         mixed-precision refinement of the leaf solves against true-K f64
         residuals — predictive MEAN to ~1e-6..1e-7 of the f64 oracle at
         near-f32 cost (``ops/refine.py``); variance keeps the f32 bound.
+
+        ``return_var=False`` returns the mean alone. On light-store
+        models with the alpha cache (``fit(store='light')``, the
+        default at scale) this takes the exact O(n·t) cross-gram fast
+        path — no O(n³) refactorization stream — making repeated mean
+        serving cheap at sizes where factors cannot be cached. The
+        exact predictive VARIANCE structurally needs the factors
+        (triangular solves per test column), so ``return_var=True``
+        streams as before.
         """
         xt_np = as_2d(np.asarray(xt))
         T = xt_np.shape[0]
@@ -511,6 +540,30 @@ class DSMGP(BaseModel):
         tmax = tidx.shape[1]
 
         post = self._ensure_posterior()
+        if (not return_var and not refine_steps
+                and not getattr(self, "_giant", None)
+                and post.chol is None
+                and getattr(self, "_alpha_cache", None) is not None):
+            key = ("predict_routed_mean", tmax, T)
+            if key not in self._jit_cache:
+                layout, plan = self.layout, self.plan
+                ids, L = self.bucket_spec.leaf_ids, self.num_leaves
+
+                def f(theta, batches, alphas, lw, xt, tidx, tmask):
+                    mu = fitlib.bucketed_alpha_mean(
+                        layout, theta, batches, ids, L, alphas, xt, tidx
+                    )
+                    mean, _ = _routed_moment_match(
+                        plan, mu, jnp.ones_like(mu), lw, tidx, tmask, T
+                    )
+                    return mean
+
+                self._jit_cache[key] = jax.jit(f)
+            return self._jit_cache[key](
+                self.theta, self.bucket_batches, self._alpha_cache,
+                self.logweights, jnp.asarray(xt_np, self.dtype),
+                jnp.asarray(tidx), jnp.asarray(tmask),
+            )
         if getattr(self, "_giant", None):
             if refine_steps:
                 raise ValueError(
@@ -520,7 +573,8 @@ class DSMGP(BaseModel):
                 )
             # mesh-resident giant leaves predict through the distributed
             # solves; normal buckets stream as usual
-            return self._predict_routed_giant(xt_np, tidx, tmask)
+            mean, var = self._predict_routed_giant(xt_np, tidx, tmask)
+            return (mean, var) if return_var else mean
         if post.chol is None or refine_steps:
             # Streamed path: re-derive factors bucket/chunk-wise (large
             # models; factors never persist).
@@ -537,11 +591,12 @@ class DSMGP(BaseModel):
                     return _routed_moment_match(plan, mu, var, lw, tidx, tmask, T)
 
                 self._jit_cache[key] = jax.jit(f)
-            return self._jit_cache[key](
+            mean, var = self._jit_cache[key](
                 self.theta, self.bucket_batches, self.logweights,
                 jnp.asarray(xt_np, self.dtype), jnp.asarray(tidx),
                 jnp.asarray(tmask),
             )
+            return (mean, var) if return_var else mean
 
         key = ("predict_routed", tmax, T)
         if key not in self._jit_cache:
@@ -559,7 +614,7 @@ class DSMGP(BaseModel):
             self.theta, self.batch, post, self.logweights,
             jnp.asarray(xt_np, self.dtype), jnp.asarray(tidx), jnp.asarray(tmask),
         )
-        return mean, var
+        return (mean, var) if return_var else mean
 
 
 def _routed_moment_match(plan, mu, var, logweights, tidx, tmask, T):

@@ -11,6 +11,9 @@ recompiles. This module provides:
   ``python -m deepstructuredmixtures_tpu.serve --checkpoint m.npz --port 8000``
   then ``POST /predict {"x": [[...], ...]}`` → ``{"mean": [...], "var": [...]}``,
   plus ``GET /healthz`` and ``GET /info`` (model class, leaves, hypers).
+  ``{"x": ..., "variance": false}`` returns the mean alone — on models too
+  large to cache factors this takes the exact cached-alpha O(n·t) fast
+  path instead of a full streamed refactorization per request.
 
 Single-process, single-device by design — one Predictor per accelerator;
 scale horizontally behind any load balancer. Batches stream through the
@@ -88,11 +91,12 @@ class Predictor:
             # compile their own pow-2 tmax variant on first encounter.
             rng = np.random.default_rng(0)
             for t in warm_sizes:
-                self._predict_padded(
-                    rng.uniform(self._lb, self._ub, (t, self.dim))
-                )
+                xw = rng.uniform(self._lb, self._ub, (t, self.dim))
+                self._predict_padded(xw)
+                if self._mean_only:  # also warm the mean fast path
+                    self._predict_padded(xw, return_var=False)
 
-    def _predict_padded(self, x):
+    def _predict_padded(self, x, return_var: bool = True):
         T = x.shape[0]
         if T > self.warm_max:
             # Requests past the largest warmed size class run in warmed-size
@@ -102,10 +106,12 @@ class Predictor:
             # independent, so chunking is exact.
             means, vars_ = [], []
             for s in range(0, T, self.warm_max):
-                m, v = self._predict_padded(x[s : s + self.warm_max])
+                m, v = self._predict_padded(x[s : s + self.warm_max],
+                                            return_var)
                 means.append(m)
                 vars_.append(v)
-            return np.concatenate(means), np.concatenate(vars_)
+            return (np.concatenate(means),
+                    np.concatenate(vars_) if return_var else None)
         Tp = _pow2_pad(T)
         if Tp != T:
             # pad with points SPREAD over the training box (not repeats of
@@ -115,11 +121,29 @@ class Predictor:
             frac = (np.arange(Tp - T) + 0.5) / (Tp - T)
             fill = self._lb + frac[:, None] * (self._ub - self._lb)
             x = np.concatenate([x, fill], axis=0)
+        if not return_var and self._mean_only:
+            # light-store model with the alpha cache: exact O(n·t) mean —
+            # no O(n³) refactorization stream per request
+            mean = self.model.predict(x, return_var=False)
+            return np.asarray(mean)[:T], None
         mean, var = self.model.predict(x)
-        return np.asarray(mean)[:T], np.asarray(var)[:T]
+        mean, var = np.asarray(mean)[:T], np.asarray(var)[:T]
+        return (mean, var) if return_var else (mean, None)
 
-    def predict(self, x):
-        """``x [T, D]`` (or [T] for 1-D models) → ``(mean [T], var [T])``."""
+    @property
+    def _mean_only(self) -> bool:
+        m = self.model
+        return (getattr(m, "_alpha_cache", None) is not None
+                and m.posterior is not None and m.posterior.chol is None
+                and not getattr(m, "_giant", None)
+                and "return_var" in type(m).predict.__code__.co_varnames)
+
+    def predict(self, x, return_var: bool = True):
+        """``x [T, D]`` (or [T] for 1-D models) → ``(mean [T], var [T])``.
+        ``return_var=False`` skips the variance (``var`` comes back
+        ``None``); on light-store models this takes the cached-alpha
+        mean fast path — the memory-budget case where per-request
+        latency otherwise pays a full streamed refactorization."""
         x = as_2d(np.asarray(x, dtype=np.float64))
         if x.shape[1] != self.dim:
             raise ValueError(
@@ -129,7 +153,7 @@ class Predictor:
             raise ValueError("non-finite prediction inputs")
         with self._lock:
             t0 = time.perf_counter()
-            mean, var = self._predict_padded(x)
+            mean, var = self._predict_padded(x, return_var)
             dt = time.perf_counter() - t0
         return mean, var, dt
 
@@ -186,12 +210,14 @@ def make_handler(predictor: Predictor, max_body_bytes: int = MAX_BODY_BYTES):
                     })
                     return
                 req = json.loads(self.rfile.read(n))
-                mean, var, dt = predictor.predict(np.asarray(req["x"]))
-                self._send(200, {
-                    "mean": mean.tolist(),
-                    "var": var.tolist(),
-                    "latency_s": dt,
-                })
+                want_var = bool(req.get("variance", True))
+                mean, var, dt = predictor.predict(
+                    np.asarray(req["x"]), return_var=want_var
+                )
+                out = {"mean": mean.tolist(), "latency_s": dt}
+                if want_var:
+                    out["var"] = var.tolist()
+                self._send(200, out)
             except (KeyError, ValueError, TypeError) as e:
                 self._send(400, {"error": str(e)})
 

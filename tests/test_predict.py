@@ -90,3 +90,43 @@ def test_kernel_mixture_model():
     omu, ovar = eng.predict(XT)
     np.testing.assert_allclose(np.asarray(mu), omu, atol=1e-6, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(var), ovar, atol=1e-6, rtol=1e-6)
+
+
+def test_mean_fast_path_matches_full_predict():
+    """predict(return_var=False) on a light-store model takes the cached-
+    alpha O(n·t) cross-gram path; it must equal the full factor-cached
+    predict's mean exactly (same μ = m + K_nt'α, gaussianprocess.jl:118,
+    through the same routed moment match). Covers tied AND untied
+    (finetuned-style) hypers, posterior weights, and cache staleness."""
+    m = dsm.build_dsmgp(X, Y, V=2, K=4, M=25, kernel=dsm.IsoSE(0.3, 0.1),
+                        log_noise=-0.7, seed=13)
+    m.update()
+    mu_full, _ = m.predict(XT)
+
+    m.fit(store="light")
+    assert m.posterior.chol is None and m._alpha_cache is not None
+    mu_fast = m.predict(XT, return_var=False)
+    assert any(k[0] == "predict_routed_mean" for k in m._jit_cache)
+    np.testing.assert_allclose(np.asarray(mu_fast), np.asarray(mu_full),
+                               atol=1e-9, rtol=1e-9)
+
+    # untied per-leaf hypers
+    L = m.num_leaves
+    H = np.tile(np.asarray(m.theta), (L, 1))
+    H[:, 0] += np.linspace(-0.2, 0.2, L)
+    m.set_params(H)
+    assert m._alpha_cache is None  # stale on hyper change
+    m.fit(store="full")
+    m.update()
+    mu_full2, _ = m.predict(XT)
+    m.fit(store="light")
+    mu_fast2 = m.predict(XT, return_var=False)
+    np.testing.assert_allclose(np.asarray(mu_fast2), np.asarray(mu_full2),
+                               atol=1e-9, rtol=1e-9)
+
+    # cache_alpha=False: no fast path, return_var=False still mean-only
+    m.fit(store="light", cache_alpha=False)
+    assert m._alpha_cache is None
+    mu_stream = m.predict(XT, return_var=False)
+    np.testing.assert_allclose(np.asarray(mu_stream), np.asarray(mu_full2),
+                               atol=1e-9, rtol=1e-9)

@@ -139,3 +139,45 @@ def test_oversized_body_rejected_and_big_batches_chunked():
     np.testing.assert_allclose(mean_p, np.asarray(mean_d), atol=1e-10)
     np.testing.assert_allclose(var_p, np.asarray(var_d), atol=1e-10)
 
+
+
+def test_mean_only_fast_path_serving():
+    """variance=false requests on a light-store model take the cached-
+    alpha mean fast path (no streamed refactorization) and must equal
+    the full predict's mean; chunked oversized batches too."""
+    m = _model()
+    m.fit(store="light")
+    p = Predictor(m, warm_sizes=(16,), warm=True, factor_budget=0)
+    assert p._mean_only
+    xt = np.linspace(0, 1, 23).reshape(-1, 1)
+    mean_f, none_var, _ = p.predict(xt, return_var=False)
+    assert none_var is None
+    m2 = _model()
+    m2.fit(store="full")
+    mean_d, _ = m2.predict(xt)
+    np.testing.assert_allclose(mean_f, np.asarray(mean_d), atol=1e-9)
+    # oversized batch chunks through the mean-only path exactly
+    xt_big = np.linspace(0, 1, 40).reshape(-1, 1)  # > warm_max 16
+    mean_big, nv, _ = p.predict(xt_big, return_var=False)
+    assert nv is None
+    mean_ref, _ = m2.predict(xt_big)
+    np.testing.assert_allclose(mean_big, np.asarray(mean_ref), atol=1e-9)
+
+    # HTTP: {"variance": false} -> no "var" key in the response
+    server = serve(p, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps(
+            {"x": xt.tolist(), "variance": False}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=body
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = json.loads(r.read())
+        assert "var" not in out
+        np.testing.assert_allclose(out["mean"], mean_f, atol=1e-7)
+    finally:
+        server.shutdown()
