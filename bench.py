@@ -632,10 +632,12 @@ def run_config5(args, dtype):
         )
         worst = max(worst, abs(mll_tpu[l] - mll_l) / max(1.0, abs(mll_l)))
 
+    sparse = {"auto": None, "on": True, "off": False}[args.finetune_sparse]
     t0 = time.perf_counter()
     hist = dsm.finetune(model, optax.adam(1e-2),
                         iterations=args.config5_finetune_iters,
-                        lam=1e-9, bucketed=True, progress=False)
+                        lam=1e-9, bucketed=True, progress=False,
+                        sparse=sparse)
     t_ft = time.perf_counter() - t0
 
     xt = rng.uniform(0.0, 1.0, (args.test, d))
@@ -655,6 +657,7 @@ def run_config5(args, dtype):
         "warmstart_s": round(t_warm, 2),
         "finetune_iter_s": round(t_ft, 2),
         "finetune_iters": int(len(hist)),
+        "finetune_sparse": args.finetune_sparse,
         "predict_s": round(t_pred, 3),
         "log_evidence": round(float(z), 3),
         "max_rel_err_small_leaf_mll_vs_f64": float(worst),
@@ -811,6 +814,11 @@ def main():
                     help="BASELINE config 5 at --n: ArdSE D=4, warm-start, "
                          "streamed fit, bucketed finetune, routed predict")
     ap.add_argument("--config5-finetune-iters", type=int, default=1)
+    ap.add_argument("--finetune-sparse", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="config5 finetune backward: sparse pair-list vs "
+                         "dense all-pairs VJP (auto: sparse below 25%% "
+                         "overlap density; the config5 tree is 34.6%%)")
     ap.add_argument("--dtype", default=None, choices=["f32", "f64"],
                     help="override the compute dtype (f64 on TPU is the "
                          "opt-in accuracy mode, ~42x slower — the second "

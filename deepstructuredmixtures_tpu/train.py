@@ -650,6 +650,7 @@ def finetune(
     progress=None,
     bucketed: Optional[bool] = None,
     mesh=None,
+    sparse: Optional[bool] = None,
 ):
     """Fine-tune per-leaf hyperparameters (≙ ``finetune!``,
     ``finetuning.jl:3-88``).
@@ -671,6 +672,11 @@ def finetune(
     (forces the bucketed path; identical mathematics and history —
     candidates are independent, so this is pure data parallelism over
     the candidate axis).
+
+    ``sparse``: bucketed path only — differentiate only the (candidate,
+    leaf) pairs with nonzero overlap weight instead of all L×L pairs
+    (exactly equal gradients; see :func:`make_finetune_vg_bucketed`).
+    ``None`` auto-enables below 25% overlap density.
     """
     optimizer = optimizer or optax.adam(1e-3)
     layout, plan, batch = model.layout, model.plan, model.batch
@@ -704,7 +710,7 @@ def finetune(
         naxis = None if mesh is None else next(iter(mesh.shape))
         vg_all = make_finetune_vg_bucketed(
             layout, plan, model.bucket_batches, model.bucket_spec.leaf_ids,
-            mesh=mesh, axis=naxis or "experts",
+            mesh=mesh, axis=naxis or "experts", sparse=sparse,
         )
 
         apply_fn = jax.jit(

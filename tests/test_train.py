@@ -253,3 +253,17 @@ def test_finetune_bucketed_path_end_to_end():
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-8)
     np.testing.assert_allclose(np.asarray(m1.theta), np.asarray(m2.theta),
                                atol=1e-8)
+
+
+def test_finetune_sparse_kwarg_api_parity():
+    """finetune(sparse=True) must reproduce finetune(sparse=False)
+    exactly through the public API (bucketed path)."""
+    m1 = _model(seed=12, V=2, K=3)
+    h1 = dsm.finetune(m1, optax.adam(1e-2), iterations=3, bucketed=True,
+                      sparse=True, progress=False)
+    m2 = _model(seed=12, V=2, K=3)
+    h2 = dsm.finetune(m2, optax.adam(1e-2), iterations=3, bucketed=True,
+                      sparse=False, progress=False)
+    np.testing.assert_allclose(h1, h2, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(m1.theta), np.asarray(m2.theta),
+                               rtol=1e-9, atol=1e-9)
