@@ -176,10 +176,9 @@ def _restore(meta, data, dtype=None):
     plan = compile_tree(root, X, overlap=overlap,
                         pad_multiple=int(meta.get("pad_multiple", 8)))
     schedule = build_schedule(plan) if overlap else None
-    batch = plan.leaf_batch(X, y, dtype)
     layout = make_layout(kernels)
     cls = getattr(modelslib, meta["class"])
-    model = cls(root, plan, schedule, layout, batch,
+    model = cls(root, plan, schedule, layout, None,
                 jnp.asarray(data["theta"], dtype=dtype), dtype, X=X, y=y)
     model.logweights = jnp.asarray(data["logweights"], dtype=dtype)
     return model

@@ -26,7 +26,7 @@ from .config import DSMGPConfig, as_2d, default_dtype
 from .gp import GaussianProcess  # re-export
 from .hyper import initial_vector, make_layout
 from .kernels import IsoSE, gram_diag, normalize_kernels
-from .leafgp import LeafPosterior, leaf_predict
+from .leafgp import LeafBatch, LeafPosterior, leaf_predict
 from .plan import build_schedule, compile_tree
 from .tree import build_tree, num_mixtures, stats
 
@@ -57,7 +57,7 @@ class BaseModel:
         self.plan = plan
         self.schedule = schedule
         self.layout = layout
-        self.batch = batch
+        self._batch = batch  # None → built lazily on first .batch access
         self.dtype = dtype
         self.theta = jnp.asarray(theta, dtype=dtype)
         self.logweights = jnp.asarray(plan.init_logweights, dtype=dtype)
@@ -78,6 +78,20 @@ class BaseModel:
                 (plan.nmax,), (np.arange(plan.num_leaves, dtype=np.int32),)
             )
             self.bucket_batches = (batch,)
+
+    @property
+    def batch(self) -> LeafBatch:
+        """Monolithic padded ``[L, nmax]`` leaf batch, built on first use.
+
+        Only the non-streamed paths (shared/batched whole-model fit,
+        full-posterior predict, monolithic train) consume it; the
+        size-bucketed streaming paths that run at scale never touch it.
+        Building it lazily avoids transferring (and keeping resident) an
+        ``L x nmax_global`` block that is mostly padding — ~3 GB at the
+        N=500k scale-frontier tree, vs ~170 MB of true data."""
+        if self._batch is None:
+            self._batch = self.plan.leaf_batch(self.X, self.y, self.dtype)
+        return self._batch
 
     # -- overlap matrix / mapping (≙ model.D, model.gpmap) ----------------
     @property
@@ -725,7 +739,7 @@ def _build_common(x, y, config: DSMGPConfig, seed, dtype, tau, pad_multiple=None
     root = build_tree(x, y, config, rng)
     plan = compile_tree(root, x, pad_multiple=pad_multiple, overlap=overlap)
     schedule = build_schedule(plan, tau=tau) if overlap else None
-    batch = plan.leaf_batch(x, y, dtype)
+    batch = None  # monolithic batch is built lazily (BaseModel.batch)
     kernels = normalize_kernels(config.kernels)
     layout = make_layout(kernels)
     theta = initial_vector(kernels, config.observation_noise)

@@ -63,12 +63,24 @@ class SPNPlan:
     init_logweights: np.ndarray  # [E]
     edge_is_leaf_sum: np.ndarray  # [E] bool
     edge_neg_logk: np.ndarray  # [E]
-    path_matrix: np.ndarray  # [L, E] 0/1 — sum edges on each leaf's path
-    path_edges: np.ndarray  # [L, Pmax] int32 — sparse form of path_matrix
+    path_edges: np.ndarray  # [L, Pmax] int32 — sum edges on each leaf's path
     path_mask: np.ndarray  # [L, Pmax] bool
     root_child_id: np.ndarray  # [L] subtree index under a split root
     overlap: Optional[np.ndarray]  # [L, L] — the D matrix (None if skipped)
     pad_multiple: int = 8  # leaf-pad quantum the plan was compiled with
+
+    @property
+    def path_matrix(self) -> np.ndarray:
+        """Dense ``[L, E]`` 0/1 leaf-path matrix, materialized on demand
+        from the sparse ``path_edges``/``path_mask`` form. At scale-
+        frontier leaf counts (20k+ leaves × 5k+ edges) the dense matrix
+        is ~1 GB that nothing on the hot path needs — only host-side
+        diagnostics (``bench._mixture_weights``) consume it."""
+        L = self.num_leaves
+        dense = np.zeros((L, max(self.n_sum_edges, 1)), dtype=np.float64)
+        rows = np.repeat(np.arange(L), self.path_mask.sum(axis=1))
+        dense[rows, self.path_edges[self.path_mask]] = 1.0
+        return dense
 
     def leaf_batch(self, X: np.ndarray, y: np.ndarray, dtype) -> LeafBatch:
         """Gather the padded leaf data arrays from the global dataset.
@@ -81,28 +93,44 @@ class SPNPlan:
         construction."""
         L, Nmax, D = self.num_leaves, self.nmax, self.dim
         npdt = np.dtype(dtype)
-        xb = np.zeros((L, Nmax, D), dtype=npdt)
-        yb = np.zeros((L, Nmax), dtype=npdt)
-        mb = np.zeros((L, Nmax), dtype=bool)
-        nb = np.zeros((L,), dtype=np.int32)
-        for i, obs in enumerate(self.leaf_obs):
-            n = obs.size
-            xb[i, :n] = X[obs]
-            yb[i, :n] = y[obs]
-            mb[i, :n] = True
-            nb[i] = n
-        return LeafBatch(
-            x=jax.device_put(xb),
-            y=jax.device_put(yb),
-            mask=jax.device_put(mb),
-            n=jax.device_put(nb),
-            mean=jax.device_put(self.leaf_mean.astype(npdt)),
-            kernelid=jax.device_put(self.leaf_kernelid.astype(np.int32)),
+        xb, yb, mb, nb = _pad_leaf_arrays(self.leaf_obs, Nmax, X, y, npdt)
+        return jax.device_put(
+            LeafBatch(
+                x=xb,
+                y=yb,
+                mask=mb,
+                n=nb,
+                mean=self.leaf_mean.astype(npdt),
+                kernelid=self.leaf_kernelid.astype(np.int32),
+            )
         )
 
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def _pad_leaf_arrays(obs_list, nmax: int, X, y, npdt):
+    """Vectorized ragged→padded gather for a group of leaves.
+
+    One boolean-mask scatter per array instead of a Python loop over
+    leaves (the loop was ~7 s of the N=500k 20k-leaf host build). Padded
+    slots stay exactly zero; assignment order is row-major, matching the
+    per-leaf concatenation order of ``flat``."""
+    Lb = len(obs_list)
+    D = X.shape[1]
+    lens = np.fromiter((o.size for o in obs_list), dtype=np.int64, count=Lb)
+    mb = np.arange(nmax, dtype=np.int64)[None, :] < lens[:, None]
+    flat = (
+        np.concatenate(obs_list)
+        if Lb
+        else np.zeros(0, dtype=np.int64)
+    )
+    xb = np.zeros((Lb, nmax, D), dtype=npdt)
+    xb[mb] = X[flat]
+    yb = np.zeros((Lb, nmax), dtype=npdt)
+    yb[mb] = y[flat]
+    return xb, yb, mb, lens.astype(np.int32)
 
 
 def compile_tree(
@@ -219,20 +247,25 @@ def compile_tree(
     )
 
     # --- leaf paths (sum edges from root to each leaf) -------------------
-    path = np.zeros((L, max(n_edges, 1)), dtype=np.float64)
+    # One shared mutable stack (append/pop) instead of a fresh list per
+    # child: at 20k+ leaves the per-edge list copies dominated this pass.
     leaf_edges: List[List[int]] = [[] for _ in range(L)]
+    _stack: List[int] = []
 
-    def walk(node, edges):
+    def walk(node):
         if isinstance(node, LeafNode):
-            for e in edges:
-                path[node.index, e] = 1.0
-            leaf_edges[node.index] = list(edges)
+            leaf_edges[node.index] = list(_stack)
             return
+        is_sum = isinstance(node, SumNode)
+        eids_here = edge_of[id(node)] if is_sum else None
         for c_i, c in enumerate(node.children):
-            extra = [edge_of[id(node)][c_i]] if isinstance(node, SumNode) else []
-            walk(c, edges + extra)
+            if is_sum:
+                _stack.append(eids_here[c_i])
+            walk(c)
+            if is_sum:
+                _stack.pop()
 
-    walk(root, [])
+    walk(root)
 
     # Sparse path form: each leaf's path crosses only O(depth) sum edges,
     # so the jitted mixture-weight gather uses [L, Pmax] indices instead of
@@ -303,7 +336,6 @@ def compile_tree(
         init_logweights=np.asarray(init_lw, dtype=np.float64),
         edge_is_leaf_sum=np.asarray(edge_leaf_sum, dtype=bool),
         edge_neg_logk=np.asarray(edge_neg_logk, dtype=np.float64),
-        path_matrix=path,
         path_edges=path_edges,
         path_mask=path_mask,
         root_child_id=root_child,
@@ -432,31 +464,24 @@ def bucket_batches(plan: SPNPlan, spec: BucketSpec, X, y, dtype):
     out = []
     npdt = np.dtype(dtype)
     for nmax_b, ids in zip(spec.nmaxs, spec.leaf_ids):
-        D = plan.dim
-        Lb = ids.size
-        xb = np.zeros((Lb, nmax_b, D), dtype=npdt)
-        yb = np.zeros((Lb, nmax_b), dtype=npdt)
-        mb = np.zeros((Lb, nmax_b), dtype=bool)
-        nb = np.zeros((Lb,), dtype=np.int32)
-        for r, l in enumerate(ids):
-            obs = plan.leaf_obs[l]
-            n = obs.size
-            xb[r, :n] = X[obs]
-            yb[r, :n] = y[obs]
-            mb[r, :n] = True
-            nb[r] = n
+        xb, yb, mb, nb = _pad_leaf_arrays(
+            [plan.leaf_obs[l] for l in ids], nmax_b, X, y, npdt
+        )
         out.append(
             LeafBatch(
-                x=jax.device_put(xb),
-                y=jax.device_put(yb),
-                mask=jax.device_put(mb),
-                n=jax.device_put(nb),
-                mean=jax.device_put(plan.leaf_mean[ids].astype(npdt)),
-                kernelid=jax.device_put(
-                    plan.leaf_kernelid[ids].astype(np.int32)),
+                x=xb,
+                y=yb,
+                mask=mb,
+                n=nb,
+                mean=plan.leaf_mean[ids].astype(npdt),
+                kernelid=plan.leaf_kernelid[ids].astype(np.int32),
             )
         )
-    return tuple(out)
+    # One batched device_put for ALL buckets' arrays: per-call overhead
+    # through the remote tunnel dominates at this array count (measured
+    # 222 arrays / 384 MB at N=500k: 5.0 s in one call vs 7.6 s issued
+    # per-array).
+    return tuple(jax.device_put(out))
 
 
 # ---------------------------------------------------------------------------

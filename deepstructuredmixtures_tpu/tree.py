@@ -78,39 +78,73 @@ def get_splits(
     depth: int = 1,
 ) -> List[float]:
     """≙ ``getSplits`` (``treeStructure.jl:23-129``); ``Xd`` is the node's
-    data restricted to dimension ``d``."""
+    data restricted to dimension ``d``.
+
+    Sorts once and runs the recursion over the sorted array with
+    ``searchsorted`` — every count/median the reference computes with an
+    O(N) scan per proposal becomes O(log N), with bit-identical float
+    results and RNG trajectory (the Beta/median blend, retry loop, and
+    branch order are unchanged). At the N=500k scale-frontier build the
+    original per-call ``np.median`` (flatten + partition of the node's
+    full column) dominated ``build_tree`` (~20 s of 33 s, profiled)."""
+    return _get_splits_sorted(
+        np.sort(np.asarray(Xd)), lb_d, ub_d, min_data, eps, K, rng, depth
+    )
+
+
+def _get_splits_sorted(
+    Xs: np.ndarray,
+    lb_d: float,
+    ub_d: float,
+    min_data: int,
+    eps: float,
+    K: int,
+    rng: np.random.Generator,
+    depth: int = 1,
+) -> List[float]:
+    """`get_splits` over an ascending-sorted column."""
     K_local = depth * depth
     s: List[float] = []
-    if Xd.size == 0:
+    if Xs.size == 0:
         return s
-    lo = max(lb_d, float(Xd.min()))
-    hi = min(ub_d, float(Xd.max()))
+    lo = max(lb_d, float(Xs[0]))
+    hi = min(ub_d, float(Xs[-1]))
     v = hi - lo
-    sel = (Xd > lo) & (Xd <= hi)
-    Xsel = Xd[sel]
-    if Xsel.size > min_data * 2:
-        m = float(np.median(Xsel))
+    # selection (lo, hi] of the sorted column
+    left = int(np.searchsorted(Xs, lo, side="right"))
+    right = int(np.searchsorted(Xs, hi, side="right"))
+    size = right - left
+    if size > min_data * 2:
+        # median of the slice — same float arithmetic as np.median
+        # ((a+b)/2 of the two middle elements; exact element when odd)
+        a_mid = float(Xs[left + (size - 1) // 2])
+        b_mid = float(Xs[left + size // 2])
+        m = (a_mid + b_mid) / 2.0
         s_new = m
         z1 = z2 = 0
         c = 0
         while z1 == 0 or z2 == 0:
             a = float(rng.beta(2.0, 2.0)) * v + lo
             s_new = eps * a + (1.0 - eps) * m
-            z1 = int(np.sum(Xsel <= s_new))
-            z2 = int(np.sum(Xsel > s_new))
+            # |{x in (lo,hi] : x <= s_new}| via one binary search
+            z1 = int(np.searchsorted(Xs, s_new, side="right")) - left
+            z1 = max(0, min(size, z1))
+            z2 = size - z1
             c += 1
             if c > 100:
                 return s
         zi = int(rng.integers(1, 3))
         branches = []
         # (side condition count, new lb, new ub)
-        left = (z1, lb_d, s_new)
-        right = (z2, s_new, ub_d)
-        branches = [left, right] if zi == 1 else [right, left]
+        left_b = (z1, lb_d, s_new)
+        right_b = (z2, s_new, ub_d)
+        branches = [left_b, right_b] if zi == 1 else [right_b, left_b]
         for bi, (z, nlb, nub) in enumerate(branches):
             if z > min_data and K_local < K:
                 s.extend(
-                    get_splits(Xd, nlb, nub, min_data, eps, K, rng, depth=depth + 1)
+                    _get_splits_sorted(
+                        Xs, nlb, nub, min_data, eps, K, rng, depth=depth + 1
+                    )
                 )
                 if bi == 0:
                     K_local += 1
