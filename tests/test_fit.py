@@ -239,3 +239,23 @@ def test_untied_theta_fit():
     for l, obs in enumerate(m.plan.leaf_obs):
         og = OracleGP(X[obs], Y[obs], "iso_se", [H[l, 0]], H[l, 1], H[l, 2])
         assert abs(float(post.mll[l]) - og.mll()) < 1e-9
+
+
+def test_monolithic_batch_is_lazy():
+    """The [L, nmax] monolithic LeafBatch must not be built (or
+    transferred) by model construction or the bucketed/streamed paths —
+    only on first `.batch` access (it is pure padding overhead at scale,
+    BASELINE.md round-3 host-build campaign)."""
+    rng = np.random.default_rng(5)
+    x = np.sort(rng.uniform(0, 1, 400)).reshape(-1, 1)
+    y = np.sin(x[:, 0] * 5) + rng.normal(0, 0.1, 400)
+    model = dsm.build_dsmgp(x, y, V=2, K=3, M=30, seed=0, do_fit=False)
+    assert model._batch is None
+    model.fit(store="light")          # streamed path
+    _ = model.leaf_mlls()
+    assert model._batch is None       # still untouched
+    b = model.batch                   # first access builds it
+    assert model._batch is b and b.x.shape[0] == model.num_leaves
+    # and the non-streamed path through it still works
+    model.fit(method="batched")
+    assert np.isfinite(float(model.update()))

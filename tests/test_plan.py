@@ -240,3 +240,14 @@ def test_overlap_optout_batched_parity_and_guards():
         m_no.rebuild_schedule(0.1)
     with pytest.raises(ValueError, match="overlap"):
         dsm.finetune(m_no, optax.adam(1e-2), iterations=1, progress=False)
+
+
+def test_path_matrix_property_consistent_with_sparse_gather():
+    """`SPNPlan.path_matrix` (on-demand dense [L, E]) and the sparse
+    `path_edges` gather used by the jitted programs must agree: the dense
+    matvec equals `path_logweights` for arbitrary edge weights."""
+    lw = jnp.asarray(np.random.default_rng(3).normal(size=PLAN.n_sum_edges))
+    dense = PLAN.path_matrix @ np.asarray(lw)
+    sparse = np.asarray(inferlib.path_logweights(PLAN, lw))
+    assert dense.shape == (PLAN.num_leaves,)
+    np.testing.assert_allclose(dense, sparse, rtol=0, atol=1e-12)

@@ -128,3 +128,58 @@ def test_stats_and_num_mixtures():
     st = stats(root)
     assert st["gps"] == len(get_leaves(root))
     assert num_mixtures(root) >= 1
+
+
+def test_get_splits_matches_naive_scan():
+    """The sorted/searchsorted `get_splits` must reproduce the naive
+    O(N)-scan formulation (the reference's semantics, treeStructure.jl:23-129)
+    exactly — same RNG trajectory, same split values — including on data
+    with duplicates."""
+
+    def naive(Xd, lb_d, ub_d, min_data, eps, K, rng, depth=1):
+        K_local = depth * depth
+        s = []
+        if Xd.size == 0:
+            return s
+        lo = max(lb_d, float(Xd.min()))
+        hi = min(ub_d, float(Xd.max()))
+        v = hi - lo
+        Xsel = Xd[(Xd > lo) & (Xd <= hi)]
+        if Xsel.size > min_data * 2:
+            m = float(np.median(Xsel))
+            s_new = m
+            z1 = z2 = 0
+            c = 0
+            while z1 == 0 or z2 == 0:
+                a = float(rng.beta(2.0, 2.0)) * v + lo
+                s_new = eps * a + (1.0 - eps) * m
+                z1 = int(np.sum(Xsel <= s_new))
+                z2 = int(np.sum(Xsel > s_new))
+                c += 1
+                if c > 100:
+                    return s
+            zi = int(rng.integers(1, 3))
+            br = [(z1, lb_d, s_new), (z2, s_new, ub_d)]
+            if zi != 1:
+                br = br[::-1]
+            for bi, (z, nlb, nub) in enumerate(br):
+                if z > min_data and K_local < K:
+                    s.extend(naive(Xd, nlb, nub, min_data, eps, K, rng,
+                                   depth=depth + 1))
+                    if bi == 0:
+                        K_local += 1
+            s.append(s_new)
+        return s
+
+    for seed in range(8):
+        r = np.random.default_rng(seed)
+        n = int(r.integers(50, 800))
+        xd = r.uniform(0, 1, n)
+        if seed % 2:  # heavy duplicates
+            xd = np.round(xd, 2)
+        for eps in (0.0, 0.3, 0.9):
+            got = get_splits(xd, -np.inf, np.inf, 10, eps, 6,
+                             np.random.default_rng(100 + seed))
+            want = naive(xd, -np.inf, np.inf, 10, eps, 6,
+                         np.random.default_rng(100 + seed))
+            assert got == want
