@@ -12,7 +12,6 @@ import sys
 sys.argv = [""]
 import bench  # noqa: E402
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
 x, y = bench.make_data(500_000)
 
 import deepstructuredmixtures_tpu as dsm  # noqa: E402

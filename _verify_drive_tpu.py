@@ -8,7 +8,7 @@ rng = np.random.default_rng(0)
 x = np.linspace(0, 1, 100); y = np.sin(x * 4 * np.pi)
 m = dsm.build_dsmgp(x.reshape(-1, 1), y, V=3, K=4, M=10,
                     kernel=dsm.IsoSE(1.0, 1.0), seed=0)
-dsm.train(m, iterations=30, lam=1e-4, progress=False)
+dsm.train(m, iterations=30, lam=1e-4, progress=False, seed=0)
 z = m.update()
 mu, var = m.predict(np.linspace(0.5, 1.5, 100).reshape(-1, 1))
 assert np.isfinite(z) and np.all(np.isfinite(np.asarray(mu)))

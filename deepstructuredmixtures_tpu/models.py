@@ -164,6 +164,15 @@ class BaseModel:
         axis to shard giant leaves over (required on multi-axis meshes).
         """
         if mesh is not None:
+            # The mesh path is the bucketed light fit with giant-leaf
+            # routing; it has no shared schedule, no full factor store and
+            # no alpha cache — reject rather than silently ignore.
+            if method not in ("auto", "batched") or store == "full":
+                raise ValueError(
+                    "fit(mesh=...) runs the bucketed light fit with "
+                    "giant-leaf routing; method='shared' and store='full' "
+                    "are not available on this path"
+                )
             return self._fit_mesh(mesh, giant_leaf_bytes, block, chunk,
                                   axis=axis)
         self._giant = None

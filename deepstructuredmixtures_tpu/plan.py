@@ -25,7 +25,6 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from .kernels import KernelSpec
 from .leafgp import LeafBatch
@@ -408,13 +407,19 @@ def bucketize(plan: SPNPlan, base: int = 128, growth: float = 1.1,
     a ~12% cut of total factorization work at the same compile count.
 
     ``strategy='geometric'``: the round-2 grid (growth 1.1 from
-    ``base``), kept for reference/comparison.
+    ``base``), kept for reference/comparison. Above 2000 leaves the DP
+    (O(L²K)) is skipped and the geometric grid is used regardless of
+    ``strategy`` — its padding bound (≤ growth³ per leaf) is acceptable
+    at scale-frontier leaf counts.
     """
+    if strategy not in ("dp", "geometric"):
+        raise ValueError(
+            f"bucketize strategy must be 'dp' or 'geometric', got "
+            f"{strategy!r}"
+        )
     sizes = np.array([o.size for o in plan.leaf_obs])
     geo = _bucketize_geometric(sizes, base, growth)
     if strategy == "geometric" or len(sizes) > 2000:
-        # DP is O(L² K); for huge leaf counts the geometric grid's
-        # padding bound (≤ growth³) is acceptable
         return geo
     K = len(geo.nmaxs)
     order = np.argsort(sizes, kind="stable")

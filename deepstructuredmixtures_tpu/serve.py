@@ -133,10 +133,16 @@ class Predictor:
     @property
     def _mean_only(self) -> bool:
         m = self.model
+        try:
+            import inspect
+
+            has_rv = "return_var" in inspect.signature(m.predict).parameters
+        except (TypeError, ValueError):  # builtins / C wrappers
+            has_rv = False
         return (getattr(m, "_alpha_cache", None) is not None
                 and m.posterior is not None and m.posterior.chol is None
                 and not getattr(m, "_giant", None)
-                and "return_var" in type(m).predict.__code__.co_varnames)
+                and has_rv)
 
     def predict(self, x, return_var: bool = True):
         """``x [T, D]`` (or [T] for 1-D models) → ``(mean [T], var [T])``.

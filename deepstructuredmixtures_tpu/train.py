@@ -239,7 +239,10 @@ def train(
     the single-device per-bucket path does; ``chunk=`` overrides the
     per-device leaf chunk."""
     optimizer = optimizer or optax.adam(1e-3)
-    layout, plan, batch = model.layout, model.plan, model.batch
+    # NOTE: model.batch (the monolithic [L, nmax] leaf batch) is lazy and
+    # mostly padding at scale — only the non-bucketed fallback paths below
+    # may touch it.
+    layout, plan = model.layout, model.plan
     P = model.theta.shape[-1]
     rng = np.random.default_rng(seed)
     theta = (
@@ -284,7 +287,7 @@ def train(
                 )
             from .parallel.mesh import make_sharded_mll_fn
 
-            f, _ = make_sharded_mll_fn(layout, plan, batch, mesh)
+            f, _ = make_sharded_mll_fn(layout, plan, model.batch, mesh)
             vg = jax.jit(jax.value_and_grad(f))
     elif per_bucket:
         vg = make_value_and_grad_bucketed(
@@ -295,7 +298,9 @@ def train(
             layout, plan, model.bucket_batches, model.bucket_spec.leaf_ids
         )))
     else:
-        vg = jax.jit(jax.value_and_grad(make_mll_fn(layout, plan, batch, chunk)))
+        vg = jax.jit(jax.value_and_grad(
+            make_mll_fn(layout, plan, model.batch, chunk)
+        ))
 
     @jax.jit
     def apply(g, opt_state, theta):
@@ -574,19 +579,31 @@ def make_finetune_vg_bucketed(layout, plan: SPNPlan, batches, leaf_ids,
     resp_v = jax.jit(jax.vmap(
         lambda mll: inferlib.leaf_responsibilities(plan, mll)
     ))
-    pair_cache = {}  # W zero-pattern -> per-bucket (jj, ii) pair arrays
+    # Keyed on the W array OBJECT (a strong reference is kept, so its id
+    # cannot be recycled; jax/numpy arrays passed here are never mutated).
+    # finetune passes the same Dd every iteration — the [L, L] download +
+    # zero-pattern scan happens once per finetune call, not per iteration.
+    pair_cache = {}
 
-    def _pairs_for(Wh):
-        key = Wh.tobytes()
-        if pair_cache.get("key") != key:
+    def _analysis(W):
+        if pair_cache.get("W") is not W:
+            Wh = np.asarray(W) != 0
             pair_cache.clear()
-            pair_cache["key"] = key
+            pair_cache["W"] = W
+            pair_cache["Wh"] = Wh
+            pair_cache["density"] = float(Wh.mean())
+            pair_cache["pairs"] = None
+        return pair_cache
+
+    def _pairs_for(info):
+        if info["pairs"] is None:
+            Wh = info["Wh"]
             plists = []
             for ids in leaf_ids:
                 jj, ii = np.nonzero(Wh[:, np.asarray(ids)])
                 plists.append((jj.astype(np.int32), ii.astype(np.int32)))
-            pair_cache["pairs"] = plists
-        return pair_cache["pairs"]
+            info["pairs"] = plists
+        return info["pairs"]
 
     def vg(H, W):
         C = H.shape[0]
@@ -607,10 +624,10 @@ def make_finetune_vg_bucketed(layout, plan: SPNPlan, batches, leaf_ids,
                 mll = mll.at[sl, ids].set(f(Hp[sl]))
         rw = resp_v(mll) * Wp
 
-        Wh = np.asarray(W) != 0
+        info = _analysis(W)
         use_sparse = sparse
         if use_sparse is None:
-            use_sparse = Wh.mean() < 0.25
+            use_sparse = info["density"] < 0.25
         g = jnp.zeros((Cp, Hp.shape[1]), H.dtype)
         if not use_sparse:
             for gfn, ids in zip(vg_fns, idx):
@@ -618,7 +635,7 @@ def make_finetune_vg_bucketed(layout, plan: SPNPlan, batches, leaf_ids,
                     g = g.at[sl].add(gfn(Hp[sl], rw[sl][:, ids]))
             return mll[:C], g[:C]
 
-        for (jj, ii), pfn, ids in zip(_pairs_for(Wh), pair_fns, idx):
+        for (jj, ii), pfn, ids in zip(_pairs_for(info), pair_fns, idx):
             Q = jj.size
             if Q == 0:
                 continue
@@ -679,7 +696,9 @@ def finetune(
     ``None`` auto-enables below 25% overlap density.
     """
     optimizer = optimizer or optax.adam(1e-3)
-    layout, plan, batch = model.layout, model.plan, model.batch
+    # model.batch is lazy (mostly padding at scale); only the non-bucketed
+    # fallback below touches it
+    layout, plan = model.layout, model.plan
     L = plan.num_leaves
     theta0 = model.theta
     if theta0.ndim == 1:
@@ -724,6 +743,8 @@ def finetune(
             updates, opt_state = apply_fn(G, opt_state, H)
             return optax.apply_updates(H, updates), opt_state, float(own.sum())
     else:
+        batch = model.batch
+
         # gradient of the weighted root mll, plus the leaf's own mll (the
         # value the reference tracks for early stopping: l += L[gp.id],
         # finetuning.jl:51)
