@@ -110,12 +110,19 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _pad_leaf_arrays(obs_list, nmax: int, X, y, npdt):
-    """Vectorized ragged→padded gather for a group of leaves.
+    """Ragged→padded gather for a group of leaves.
 
-    One boolean-mask scatter per array instead of a Python loop over
-    leaves (the loop was ~7 s of the N=500k 20k-leaf host build). Padded
-    slots stay exactly zero; assignment order is row-major, matching the
-    per-leaf concatenation order of ``flat``."""
+    Native parallel packer when ``native/libdsmhost.so`` is present
+    (``dsm_pack_leaves_*`` — the host data loader), else one vectorized
+    boolean-mask scatter per array (either way no Python loop over
+    leaves — the loop was ~7 s of the N=500k 20k-leaf host build).
+    Padded slots stay exactly zero; assignment order is row-major,
+    matching the per-leaf concatenation order of ``flat``."""
+    from .utils.native import pack_leaves
+
+    packed = pack_leaves(obs_list, nmax, X, y, npdt)
+    if packed is not None:
+        return packed
     Lb = len(obs_list)
     D = X.shape[1]
     lens = np.fromiter((o.size for o in obs_list), dtype=np.int64, count=Lb)

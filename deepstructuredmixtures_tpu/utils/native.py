@@ -54,6 +54,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        try:  # symbols absent in a stale libdsmhost.so → NumPy fallback
+            for name, valt in (("dsm_pack_leaves_f32", ctypes.c_float),
+                               ("dsm_pack_leaves_f64", ctypes.c_double)):
+                getattr(lib, name).argtypes = [
+                    ctypes.POINTER(ctypes.c_double),
+                    ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                    ctypes.c_int64, ctypes.POINTER(valt),
+                    ctypes.POINTER(valt), ctypes.POINTER(ctypes.c_uint8),
+                ]
+        except AttributeError:
+            pass
         _LIB = lib
     except OSError:
         _LIB = None
@@ -122,3 +136,38 @@ def pack_routes(member: np.ndarray, tmax: int):
     lib.dsm_pack_routes(_ptr(mem, ctypes.c_uint8), T, L, tmax,
                         _ptr(tidx, ctypes.c_int32), _ptr(tmask, ctypes.c_uint8))
     return tidx, tmask.astype(bool)
+
+
+def pack_leaves(obs_list, nmax: int, X: np.ndarray, y: np.ndarray, npdt):
+    """Ragged→padded leaf packing (the host data loader): gather each
+    leaf's training rows into zeroed ``[Lb, nmax, D]`` / ``[Lb, nmax]``
+    blocks of dtype ``npdt`` with a validity mask, parallel over leaves.
+    Returns ``(xb, yb, mb, lens_i32)`` or ``None`` when the native library
+    (or the needed dtype variant) is unavailable — callers fall back to
+    the vectorized NumPy path."""
+    lib = get_lib()
+    npdt = np.dtype(npdt)
+    fname = {"float32": "dsm_pack_leaves_f32",
+             "float64": "dsm_pack_leaves_f64"}.get(npdt.name)
+    if lib is None or fname is None or not hasattr(lib, fname):
+        return None
+    Lb = len(obs_list)
+    D = X.shape[1]
+    X = np.ascontiguousarray(X, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    lens = np.fromiter((o.size for o in obs_list), dtype=np.int64, count=Lb)
+    starts = np.zeros(Lb, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    obs = (np.ascontiguousarray(np.concatenate(obs_list), dtype=np.int64)
+           if Lb else np.zeros(0, dtype=np.int64))
+    xb = np.zeros((Lb, nmax, D), dtype=npdt)
+    yb = np.zeros((Lb, nmax), dtype=npdt)
+    mb = np.zeros((Lb, nmax), dtype=np.uint8)
+    valt = ctypes.c_float if npdt.name == "float32" else ctypes.c_double
+    getattr(lib, fname)(
+        _ptr(X, ctypes.c_double), _ptr(y, ctypes.c_double), D,
+        _ptr(obs, ctypes.c_int64), _ptr(starts, ctypes.c_int64),
+        _ptr(lens, ctypes.c_int64), Lb, nmax,
+        _ptr(xb, valt), _ptr(yb, valt), _ptr(mb, ctypes.c_uint8),
+    )
+    return xb, yb, mb.view(bool), lens.astype(np.int32)

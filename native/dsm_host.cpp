@@ -9,6 +9,10 @@
 //    bitsets: the kernel inside the overlap matrix D.
 //  * route_box — half-open box membership of test points against leaf
 //    bounding boxes: the routing kernel behind prediction.
+//  * pack_leaves_* — the data loader: ragged->padded gather of each leaf's
+//    training rows into the device-bound [Lb, nmax, ...] blocks with dtype
+//    conversion (f64 host data -> f32/f64 device layout), parallel over
+//    leaves.
 //
 // Built as a plain shared library (see native/Makefile) and loaded via
 // ctypes (deepstructuredmixtures_tpu/utils/native.py) with a NumPy
@@ -92,6 +96,53 @@ void dsm_pack_routes(const uint8_t* member, int64_t T, int64_t L,
       tm[k] = 0;
     }
   }
+}
+
+}  // extern "C"
+
+// Ragged->padded leaf packing (the host data loader feeding device_put):
+// gather X [N, D] / y [N] rows (float64, C-contiguous) for each leaf's
+// observation list into padded [Lb, nmax, D] / [Lb, nmax] blocks of type T,
+// set the validity mask. Output buffers are pre-zeroed by the caller
+// (np.zeros), so only valid rows are written.
+template <typename T>
+static void pack_leaves(const double* X, const double* y, int64_t D,
+                        const int64_t* obs, const int64_t* starts,
+                        const int64_t* lens, int64_t Lb, int64_t nmax, T* xb,
+                        T* yb, uint8_t* mb) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic, 8)
+#endif
+  for (int64_t l = 0; l < Lb; ++l) {
+    const int64_t* o = obs + starts[l];
+    const int64_t n = lens[l];
+    T* xr = xb + l * nmax * D;
+    T* yr = yb + l * nmax;
+    uint8_t* mr = mb + l * nmax;
+    for (int64_t i = 0; i < n; ++i) {
+      const double* src = X + o[i] * D;
+      T* dst = xr + i * D;
+      for (int64_t d = 0; d < D; ++d) dst[d] = static_cast<T>(src[d]);
+      yr[i] = static_cast<T>(y[o[i]]);
+      mr[i] = 1;
+    }
+  }
+}
+
+extern "C" {
+
+void dsm_pack_leaves_f32(const double* X, const double* y, int64_t D,
+                         const int64_t* obs, const int64_t* starts,
+                         const int64_t* lens, int64_t Lb, int64_t nmax,
+                         float* xb, float* yb, uint8_t* mb) {
+  pack_leaves<float>(X, y, D, obs, starts, lens, Lb, nmax, xb, yb, mb);
+}
+
+void dsm_pack_leaves_f64(const double* X, const double* y, int64_t D,
+                         const int64_t* obs, const int64_t* starts,
+                         const int64_t* lens, int64_t Lb, int64_t nmax,
+                         double* xb, double* yb, uint8_t* mb) {
+  pack_leaves<double>(X, y, D, obs, starts, lens, Lb, nmax, xb, yb, mb);
 }
 
 }  // extern "C"

@@ -44,3 +44,29 @@ def test_native_lib_loaded():
     if native.get_lib() is None:
         pytest.skip("libdsmhost.so not built — NumPy fallback in use")
     assert native.get_lib() is not None
+
+
+def test_pack_leaves_matches_numpy_gather():
+    """Native ragged→padded leaf packer must be bit-identical to the
+    vectorized NumPy gather (both f32 and f64 variants), including
+    zeroed padding and duplicate-free masks."""
+    r = np.random.default_rng(7)
+    N, D = 3000, 2
+    X = r.uniform(0, 1, (N, D))
+    y = r.normal(0, 1, N)
+    obs = [np.sort(r.choice(N, int(r.integers(3, 200)), replace=False))
+           .astype(np.int64) for _ in range(17)]
+    nmax = 256
+    for dt in (np.float32, np.float64):
+        out = native.pack_leaves(obs, nmax, X, y, dt)
+        if out is None:
+            pytest.skip("native pack_leaves unavailable")
+        lens = np.array([o.size for o in obs])
+        mb = np.arange(nmax)[None, :] < lens[:, None]
+        flat = np.concatenate(obs)
+        xb = np.zeros((len(obs), nmax, D), dt); xb[mb] = X[flat]
+        yb = np.zeros((len(obs), nmax), dt); yb[mb] = y[flat]
+        np.testing.assert_array_equal(out[0], xb)
+        np.testing.assert_array_equal(out[1], yb)
+        np.testing.assert_array_equal(out[2], mb)
+        np.testing.assert_array_equal(out[3], lens.astype(np.int32))
