@@ -823,6 +823,12 @@ def main():
                     help="override the compute dtype (f64 on TPU is the "
                          "opt-in accuracy mode, ~42x slower — the second "
                          "point of the speed-accuracy contract)")
+    ap.add_argument("--check-mlls", default=None, metavar="NPZ",
+                    help="npz with arrays (leaves, mlls) of f64 CPU leaf "
+                         "mlls (saved by the baseline seeding pass) — "
+                         "compare the TPU run's leaf mlls against them and "
+                         "report max_rel_err_leaf_mll even when the CPU "
+                         "baseline itself is already cached")
     args = ap.parse_args()
 
     if args.quick:
@@ -939,6 +945,18 @@ def main():
         "mfu": mfu,
         "model_tflops": round(flops / 1e12, 3),
     }
+    if args.check_mlls:
+        with np.load(args.check_mlls) as f:
+            leaves, mlls_f64 = f["leaves"], f["mlls"]
+        err_mll = max(
+            abs(float(mll_tpu[l]) - v) / max(1.0, abs(v))
+            for l, v in zip(leaves, mlls_f64)
+        )
+        result["max_rel_err_leaf_mll"] = float(err_mll)
+        base["max_rel_err_leaf_mll"] = float(err_mll)
+        cache[cache_key] = base
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(cache, f, indent=1)
     if args.refine:
         result["refine_steps"] = args.refine
         if errs is not None:
