@@ -40,5 +40,8 @@ with open(bench.BASELINE_CACHE, "w") as f:
     json.dump(cache, f, indent=1)
 np.savez("/tmp/n1m_sampled_mlls.npz",
          leaves=np.array(sorted(mlls)),
-         mlls=np.array([mlls[k] for k in sorted(mlls)]))
+         mlls=np.array([mlls[k] for k in sorted(mlls)]),
+         # tree-identity stamp: bench --check-mlls refuses a seed file
+         # whose (n, depth, m) do not match the run it is gating
+         n=np.int64(N), depth=np.int64(DEPTH), m=np.int64(M))
 print("cache written:", key, flush=True)

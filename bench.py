@@ -948,6 +948,23 @@ def main():
     if args.check_mlls:
         with np.load(args.check_mlls) as f:
             leaves, mlls_f64 = f["leaves"], f["mlls"]
+            stamp = {k: int(f[k]) for k in ("n", "depth", "m") if k in f}
+        # Refuse a mismatched seed file: indexing another tree's leaf ids
+        # would either IndexError at the end of a long run or — worse —
+        # silently persist a meaningless error figure into the cache.
+        want = {"n": args.n, "depth": args.depth, "m": args.m_min}
+        bad = {k: (v, want[k]) for k, v in stamp.items() if v != want[k]}
+        if bad:
+            raise SystemExit(
+                f"--check-mlls: npz stamped {stamp} does not match this "
+                f"run {want} — wrong seed file"
+            )
+        if int(leaves.min()) < 0 or int(leaves.max()) >= mll_tpu.shape[0]:
+            raise SystemExit(
+                f"--check-mlls: npz leaf ids up to {int(leaves.max())} "
+                f"exceed this model's {mll_tpu.shape[0]} leaves — the npz "
+                "was seeded for a different tree"
+            )
         err_mll = max(
             abs(float(mll_tpu[l]) - v) / max(1.0, abs(v))
             for l, v in zip(leaves, mlls_f64)

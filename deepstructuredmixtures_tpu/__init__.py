@@ -21,7 +21,8 @@ def _enable_compilation_cache():
     persistent cache amortizes that to once per machine instead of once
     per process. Cache location: $DSMGP_COMPILE_CACHE or
     ~/.cache/dsmgp_tpu/xla."""
-    if _os.environ.get("DSMGP_NO_COMPILE_CACHE"):
+    # "0"/"false"/"" mean "not disabled" (0/1 toggle templates)
+    if _os.environ.get("DSMGP_NO_COMPILE_CACHE", "").lower() not in ("", "0", "false"):
         return
     cache_dir = _os.environ.get(
         "DSMGP_COMPILE_CACHE",

@@ -63,6 +63,7 @@ class BaseModel:
         self.logweights = jnp.asarray(plan.init_logweights, dtype=dtype)
         self.posterior: Optional[LeafPosterior] = None
         self._giant = None  # mesh-resident oversized-leaf factors
+        self._giant_jit = {}  # compiled normal-bucket programs (mesh fits)
         self._alpha_cache = None  # per-bucket alpha weights (light fit)
         self._jit_cache = {}
         # size-bucketed batches (plan.BucketSpec) for the streaming paths
@@ -165,8 +166,8 @@ class BaseModel:
         """
         if mesh is not None:
             # The mesh path is the bucketed light fit with giant-leaf
-            # routing; it has no shared schedule, no full factor store and
-            # no alpha cache — reject rather than silently ignore.
+            # routing; it has no shared schedule and no full factor
+            # store — reject rather than silently ignore.
             if method not in ("auto", "batched") or store == "full":
                 raise ValueError(
                     "fit(mesh=...) runs the bucketed light fit with "
@@ -174,7 +175,7 @@ class BaseModel:
                     "are not available on this path"
                 )
             return self._fit_mesh(mesh, giant_leaf_bytes, block, chunk,
-                                  axis=axis)
+                                  axis=axis, cache_alpha=cache_alpha)
         self._giant = None
         self._alpha_cache = None  # stale under any refit; light re-derives
         if store == "auto":
@@ -257,9 +258,12 @@ class BaseModel:
         return self.fit(method="batched")
 
     def _fit_mesh(self, mesh, giant_leaf_bytes: int, block: int,
-                  chunk=None, axis=None) -> float:
+                  chunk=None, axis=None, cache_alpha: bool = True) -> float:
         """Bucketed light fit with oversized leaves routed through the
-        distributed Cholesky (see :meth:`fit` ``mesh=``)."""
+        distributed Cholesky (see :meth:`fit` ``mesh=``). ``cache_alpha``
+        keeps the normal buckets' alpha weights (the giant leaves' alphas
+        are mesh-resident already), so ``predict(xt, return_var=False)``
+        serves the exact mean without restreaming factorizations."""
         from .hyper import unpack
         from .parallel import dist_chol
 
@@ -314,10 +318,18 @@ class BaseModel:
                 mll[leaf_id] = float(mll_leaf)
                 giant[leaf_id] = (Lf, alpha, xp, n, kid)
         if normal_batches:
-            mll_n = np.asarray(fitlib.bucketed_leaf_mlls(
-                self.layout, self.theta, tuple(normal_batches),
-                tuple(normal_ids), L, chunk=chunk,
-            ))
+            if cache_alpha:
+                mll_j, alphas = fitlib.bucketed_leaf_alphas(
+                    self.layout, self.theta, tuple(normal_batches),
+                    tuple(normal_ids), L, chunk=chunk,
+                )
+                self._alpha_cache = alphas  # normal-bucket order
+                mll_n = np.asarray(mll_j)
+            else:
+                mll_n = np.asarray(fitlib.bucketed_leaf_mlls(
+                    self.layout, self.theta, tuple(normal_batches),
+                    tuple(normal_ids), L, chunk=chunk,
+                ))
             for ids in normal_ids:
                 mll[ids] = mll_n[ids]
         self.posterior = LeafPosterior(
@@ -325,13 +337,56 @@ class BaseModel:
         )
         self._giant = giant
         self._giant_cfg = (mesh, axis, block)
+        prev_ids = getattr(self, "_giant_normal", (None, None))[1]
         self._giant_normal = (tuple(normal_batches), tuple(normal_ids))
-        self._giant_jit = {}  # per-fit cache of normal-bucket programs
+        # Keep the compiled normal-bucket programs across refits with the
+        # same normal/giant split (the jitted bodies close over the
+        # leaf-id tables, nothing else fit-specific) — a refit-then-serve
+        # cycle must not retrace the 40+-bucket predict program.
+        same_split = (prev_ids is not None
+                      and len(prev_ids) == len(self._giant_normal[1])
+                      and all(np.array_equal(a, b) for a, b in
+                              zip(prev_ids, self._giant_normal[1])))
+        if not same_split:
+            self._giant_jit = {}
         self.last_fit_diagnostics = {
             "delete_fallbacks": 0, "continue_fallbacks": 0,
             "distributed_leaves": len(giant),
         }
         return time.perf_counter() - t0
+
+    def _giant_normal_predict(self, xt, ti=None, tm=None):
+        """Normal-bucket streamed predictions after ``fit(mesh=...)``:
+        ``(mu, var) [L, T|tmax]`` as WRITABLE float64 arrays with giant
+        rows left zero/one for the caller to fill — the one helper behind
+        both the shared-test-point (``ti is None``) and routed call
+        sites. Compiled programs persist in ``self._giant_jit`` across
+        refits with an unchanged normal/giant split."""
+        L = self.num_leaves
+        T = int(xt.shape[0]) if ti is None else int(ti.shape[1])
+        nb, nids = self._giant_normal
+        mu = np.zeros((L, T))
+        var = np.ones((L, T))
+        if nb:
+            key = ("all", T) if ti is None else ("routed", T)
+            if key not in self._giant_jit:
+                layout = self.layout
+
+                def f(th, batches, x, ti=None, tm=None, nids=nids, L=L):
+                    mu, var, _ = fitlib.bucketed_streamed_predict(
+                        layout, th, batches, nids, L, x, ti, tm
+                    )
+                    return mu, var
+
+                self._giant_jit[key] = jax.jit(f)
+            args = ((self.theta, nb, xt) if ti is None
+                    else (self.theta, nb, xt, ti, tm))
+            mu_b, var_b = self._giant_jit[key](*args)
+            # np.array: writable copies (np.asarray of a jax array in
+            # the matching dtype is a read-only zero-copy view)
+            mu = np.array(mu_b, dtype=np.float64)
+            var = np.array(var_b, dtype=np.float64)
+        return mu, var
 
     def _giant_leaf_predict(self, leaf_id: int, xt_leaf):
         """Distributed prediction of one mesh-resident giant leaf at its
@@ -418,27 +473,7 @@ class BaseModel:
         cached (large models)."""
         post = self._ensure_posterior()
         if getattr(self, "_giant", None):
-            L, T = self.num_leaves, int(xt.shape[0])
-            nb, nids = self._giant_normal
-            mu = np.zeros((L, T))
-            var = np.ones((L, T))
-            if nb:
-                key = ("all", T)
-                if key not in self._giant_jit:
-                    layout = self.layout
-
-                    def f(th, batches, x, nids=nids, L=L):
-                        mu, var, _ = fitlib.bucketed_streamed_predict(
-                            layout, th, batches, nids, L, x
-                        )
-                        return mu, var
-
-                    self._giant_jit[key] = jax.jit(f)
-                mu_b, var_b = self._giant_jit[key](self.theta, nb, xt)
-                # np.array: writable copies (np.asarray of a jax array in
-                # the matching dtype is a read-only zero-copy view)
-                mu = np.array(mu_b, dtype=np.float64)
-                var = np.array(var_b, dtype=np.float64)
+            mu, var = self._giant_normal_predict(xt)
             for leaf_id in self._giant:
                 mu_l, var_l = self._giant_leaf_predict(leaf_id, xt)
                 mu[leaf_id] = np.asarray(mu_l)
@@ -501,29 +536,10 @@ class DSMGP(BaseModel):
         stream locally, giant leaves solve distributed, one shared
         log-space moment match."""
         T = xt_np.shape[0]
-        L = self.num_leaves
-        tmax = tidx.shape[1]
         xt = jnp.asarray(xt_np, self.dtype)
         ti = jnp.asarray(tidx)
         tm = jnp.asarray(tmask)
-        nb, nids = self._giant_normal
-        mu = np.zeros((L, tmax))
-        var = np.ones((L, tmax))
-        if nb:
-            key = ("routed", tmax)
-            if key not in self._giant_jit:
-                layout = self.layout
-
-                def f(th, batches, x, ti, tm, nids=nids, L=L):
-                    mu, var, _ = fitlib.bucketed_streamed_predict(
-                        layout, th, batches, nids, L, x, ti, tm
-                    )
-                    return mu, var
-
-                self._giant_jit[key] = jax.jit(f)
-            mu_b, var_b = self._giant_jit[key](self.theta, nb, xt, ti, tm)
-            mu = np.array(mu_b, dtype=np.float64)  # writable copies
-            var = np.array(var_b, dtype=np.float64)
+        mu, var = self._giant_normal_predict(xt, ti, tm)
         for leaf_id in self._giant:
             xt_leaf = xt[ti[leaf_id]]  # [tmax, D] routed points
             mu_l, var_l = self._giant_leaf_predict(leaf_id, xt_leaf)
@@ -533,6 +549,53 @@ class DSMGP(BaseModel):
             self.plan, jnp.asarray(mu, self.dtype),
             jnp.asarray(var, self.dtype), self.logweights, ti, tm, T,
         )
+
+    def _predict_routed_giant_mean(self, xt_np, tidx, tmask):
+        """Mean-only serving after ``fit(mesh=..., cache_alpha=True)``:
+        normal buckets through the cached-alpha cross-gram fast path
+        (:func:`fit.bucketed_alpha_mean`), giant leaves through their
+        mesh-fit alpha weights (``μ = m + K_nt' α``,
+        ``gaussianprocess.jl:118``) — no O(n³) factorization restream."""
+        from .hyper import unpack
+        from .kernels import gram
+
+        T = xt_np.shape[0]
+        L = self.num_leaves
+        tmax = tidx.shape[1]
+        xt = jnp.asarray(xt_np, self.dtype)
+        ti = jnp.asarray(tidx)
+        tm = jnp.asarray(tmask)
+        nb, nids = self._giant_normal
+        mu = np.zeros((L, tmax))
+        if nb:
+            key = ("routed_mean", tmax)
+            if key not in self._giant_jit:
+                layout = self.layout
+
+                def f(th, batches, alphas, x, ti, nids=nids, L=L):
+                    return fitlib.bucketed_alpha_mean(
+                        layout, th, batches, nids, L, alphas, x, ti
+                    )
+
+                self._giant_jit[key] = jax.jit(f)
+            mu = np.array(self._giant_jit[key](
+                self.theta, nb, self._alpha_cache, xt, ti
+            ), dtype=np.float64)
+        for leaf_id, (Lf, alpha, xp, n, kid) in self._giant.items():
+            th = self.theta if self.theta.ndim == 1 else self.theta[leaf_id]
+            logl, logsigma, _ = unpack(self.layout, th, kid)
+            Knt = gram(self.layout.kinds[kid], jnp.atleast_1d(logl),
+                       logsigma, xp[:n], xt[ti[leaf_id]])  # [n, tmax]
+            mu[leaf_id] = np.asarray(
+                float(self.plan.leaf_mean[leaf_id])
+                + jnp.matmul(Knt.T, alpha[:n],
+                             precision=jax.lax.Precision.HIGHEST)
+            )
+        mu_j = jnp.asarray(mu, self.dtype)
+        mean, _ = _routed_moment_match(
+            self.plan, mu_j, jnp.ones_like(mu_j), self.logweights, ti, tm, T
+        )
+        return mean
 
     def predict(self, xt, refine_steps: int = 0, return_var: bool = True):
         """Routed exact mixture prediction ``(mean [T], var [T])``
@@ -594,6 +657,12 @@ class DSMGP(BaseModel):
                     "the distributed giant-leaf solves have no refinement "
                     "path; refit without a mesh for refined prediction"
                 )
+            if (not return_var
+                    and getattr(self, "_alpha_cache", None) is not None):
+                # mean-only serving from the cached alphas: normal buckets
+                # via the cross-gram fast path, giant leaves via their
+                # mesh-fit alpha weights — no O(n³) restream
+                return self._predict_routed_giant_mean(xt_np, tidx, tmask)
             # mesh-resident giant leaves predict through the distributed
             # solves; normal buckets stream as usual
             mean, var = self._predict_routed_giant(xt_np, tidx, tmask)

@@ -290,7 +290,10 @@ def supported(batch_nmax: int, dtype, kinds) -> bool:
     BASELINE.md)."""
     import os
 
-    if os.environ.get("DSMGP_NO_FUSED_CHOL"):
+    # "0"/"false"/"" mean "not disabled" — a 0/1 toggle template must not
+    # silently disable the kernel (it would make A/B runs compare the
+    # same configuration twice).
+    if os.environ.get("DSMGP_NO_FUSED_CHOL", "").lower() not in ("", "0", "false"):
         return False
     try:
         platform = jax.devices()[0].platform

@@ -667,6 +667,7 @@ def finetune(
     progress=None,
     bucketed: Optional[bool] = None,
     mesh=None,
+    axis=None,
     sparse: Optional[bool] = None,
 ):
     """Fine-tune per-leaf hyperparameters (≙ ``finetune!``,
@@ -688,7 +689,9 @@ def finetune(
     ``mesh``: shard the candidate evaluations across a device mesh
     (forces the bucketed path; identical mathematics and history —
     candidates are independent, so this is pure data parallelism over
-    the candidate axis).
+    the candidate axis). ``axis``: the single mesh axis to shard over —
+    required on multi-axis meshes (matching ``fit(mesh=)``/
+    ``gp.fit(mesh=)``: the other axes would silently idle).
 
     ``sparse``: bucketed path only — differentiate only the (candidate,
     leaf) pairs with nonzero overlap weight instead of all L×L pairs
@@ -725,8 +728,17 @@ def finetune(
         )
     if mesh is not None:
         per_bucket = True  # the candidate-sharded path is the bucketed one
+    if mesh is not None and axis is None:
+        if len(mesh.shape) > 1:
+            raise ValueError(
+                "finetune(mesh=...) shards candidates over a single mesh "
+                f"axis; this mesh has axes {tuple(mesh.shape)} — pass "
+                "axis='name' (the other axes stay UNUSED) or reshape the "
+                "mesh to one axis"
+            )
+        axis = next(iter(mesh.shape))
     if per_bucket:
-        naxis = None if mesh is None else next(iter(mesh.shape))
+        naxis = axis
         vg_all = make_finetune_vg_bucketed(
             layout, plan, model.bucket_batches, model.bucket_spec.leaf_ids,
             mesh=mesh, axis=naxis or "experts", sparse=sparse,

@@ -156,10 +156,17 @@ def pack_leaves(obs_list, nmax: int, X: np.ndarray, y: np.ndarray, npdt):
     X = np.ascontiguousarray(X, dtype=np.float64)
     y = np.ascontiguousarray(y, dtype=np.float64)
     lens = np.fromiter((o.size for o in obs_list), dtype=np.int64, count=Lb)
+    if Lb and int(lens.max()) > nmax:
+        # Match the loud shape-mismatch the NumPy fallback raises; the C++
+        # packer would otherwise write past its row block silently.
+        raise ValueError(
+            f"pack_leaves: leaf size {int(lens.max())} exceeds nmax={nmax}")
     starts = np.zeros(Lb, dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
     obs = (np.ascontiguousarray(np.concatenate(obs_list), dtype=np.int64)
            if Lb else np.zeros(0, dtype=np.int64))
+    if obs.size and (int(obs.min()) < 0 or int(obs.max()) >= X.shape[0]):
+        raise ValueError("pack_leaves: observation index out of range")
     xb = np.zeros((Lb, nmax, D), dtype=npdt)
     yb = np.zeros((Lb, nmax), dtype=npdt)
     mb = np.zeros((Lb, nmax), dtype=np.uint8)

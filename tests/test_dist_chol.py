@@ -261,3 +261,49 @@ def test_tree_model_oversized_leaves_route_to_dist_chol():
     # set_params invalidates the mesh-resident factors
     m_d.set_params(np.asarray(m_d.get_params()) + 0.1)
     assert m_d._giant is None
+
+
+def test_mesh_fit_alpha_mean_fast_path_and_jit_persistence():
+    """fit(mesh=, cache_alpha=True) (the default) must (a) keep the
+    normal buckets' alpha cache so predict(return_var=False) serves the
+    exact mean without restreaming factorizations — giant leaves via
+    their mesh-fit alphas — and (b) retain the compiled normal-bucket
+    programs across refits with an unchanged normal/giant split (a
+    refit-then-serve cycle must not retrace)."""
+    import pytest
+    import deepstructuredmixtures_tpu as dsm
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(33)
+    N = 400
+    x = np.sort(rng.uniform(0, 1, N)).reshape(-1, 1)
+    y = np.sin(x[:, 0] * 5) + 0.1 * rng.standard_normal(N)
+
+    m_ref = dsm.build_dsmgp(x, y, V=3, K=2, M=30, kernel=dsm.IsoSE(0.0, 0.0),
+                            log_noise=-1.0, seed=5)
+    m_d = dsm.build_dsmgp(x, y, V=3, K=2, M=30, kernel=dsm.IsoSE(0.0, 0.0),
+                          log_noise=-1.0, seed=5, do_fit=False)
+    sizes = sorted(b.nmax for b in m_d.bucket_batches)
+    assert len(sizes) >= 2, "test tree must span two size classes"
+    budget = (sizes[-2] ** 2) * 8
+    m_d.fit(mesh=mesh, giant_leaf_bytes=budget, block=16)
+    assert m_d._alpha_cache is not None  # cache_alpha honored on mesh path
+    assert m_d.last_fit_diagnostics["distributed_leaves"] >= 1
+
+    xt = np.linspace(-0.05, 1.05, 41).reshape(-1, 1)
+    mu_ref = np.asarray(m_ref.predict(xt)[0])
+    mean_fast = np.asarray(m_d.predict(xt, return_var=False))
+    assert any(k[0] == "routed_mean" for k in m_d._giant_jit), \
+        "mean-only predict did not take the cached-alpha fast path"
+    np.testing.assert_allclose(mean_fast, mu_ref, atol=1e-8)
+
+    # (b) refit with the same split: compiled programs must survive
+    m_d.predict(xt)  # populate the ("routed", tmax) program too
+    progs = dict(m_d._giant_jit)
+    m_d.fit(mesh=mesh, giant_leaf_bytes=budget, block=16)
+    assert m_d._giant_jit, "giant-jit cache dropped on same-split refit"
+    for k, v in progs.items():
+        assert m_d._giant_jit.get(k) is v, f"program {k} was retraced"
+    # and a changed split must invalidate them
+    m_d.fit(mesh=mesh, giant_leaf_bytes=1, block=16)
+    assert not any(m_d._giant_jit.get(k) is v for k, v in progs.items())

@@ -70,3 +70,20 @@ def test_pack_leaves_matches_numpy_gather():
         np.testing.assert_array_equal(out[1], yb)
         np.testing.assert_array_equal(out[2], mb)
         np.testing.assert_array_equal(out[3], lens.astype(np.int32))
+
+
+def test_pack_leaves_rejects_oversized_or_out_of_range():
+    """The native packer must fail LOUDLY (like the NumPy fallback's
+    shape mismatch) instead of writing past its row block when a leaf
+    exceeds nmax, or reading out of bounds on a bad observation id."""
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    r = np.random.default_rng(3)
+    X = r.uniform(0, 1, (100, 1))
+    y = r.normal(0, 1, 100)
+    too_big = [np.arange(40, dtype=np.int64), np.arange(80, dtype=np.int64)]
+    with pytest.raises(ValueError, match="exceeds nmax"):
+        native.pack_leaves(too_big, 64, X, y, np.float32)
+    bad_idx = [np.array([0, 99, 100], dtype=np.int64)]  # 100 out of range
+    with pytest.raises(ValueError, match="out of range"):
+        native.pack_leaves(bad_idx, 8, X, y, np.float64)

@@ -3,6 +3,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 import deepstructuredmixtures_tpu as dsm
 from deepstructuredmixtures_tpu.parallel import (
@@ -234,3 +235,22 @@ def test_batch_actually_sharded():
     # each device holds 1/8 of the leaf axis
     shard_sizes = {s.data.shape[0] for s in sb.x.addressable_shards}
     assert shard_sizes == {sb.num_leaves // 8}
+
+
+def test_finetune_multi_axis_mesh_requires_axis():
+    """finetune(mesh=) on a multi-axis mesh must raise without an explicit
+    axis (matching fit(mesh=)/gp.fit(mesh=)) and work when one is given."""
+    import jax
+    from jax.sharding import Mesh
+
+    m1 = _model(seed=31)
+    m2 = _model(seed=31)
+    multi = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("a", "b"))
+    with pytest.raises(ValueError, match="single mesh axis"):
+        dsm.finetune(m1, optax.adam(1e-2), iterations=1, lam=1e-9,
+                     mesh=multi, progress=False)
+    h1 = dsm.finetune(m1, optax.adam(1e-2), iterations=2, lam=1e-9,
+                      mesh=multi, axis="b", progress=False)
+    h2 = dsm.finetune(m2, optax.adam(1e-2), iterations=2, lam=1e-9,
+                      bucketed=True, progress=False)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-8)
