@@ -763,6 +763,36 @@ def run_giant_mesh(args, dtype):
     }))
 
 
+def _load_check_mlls(args):
+    """Load and validate a ``--check-mlls`` seed npz BEFORE the long run:
+    a wrong seed file must fail in milliseconds at startup, not after the
+    full TPU benchmark (and possibly a multi-hour CPU baseline) completed.
+    The leaf-count check against the built model happens separately in
+    ``main`` (the tree does not exist yet here)."""
+    with np.load(args.check_mlls) as f:
+        leaves = np.asarray(f["leaves"])
+        mlls_f64 = np.asarray(f["mlls"])
+        stamp = {k: int(f[k]) for k in ("n", "depth", "m") if k in f}
+    if leaves.size == 0 or leaves.shape != mlls_f64.shape:
+        raise SystemExit(
+            f"--check-mlls: npz has {leaves.size} sampled leaves and "
+            f"{mlls_f64.size} mlls — malformed/truncated seed file"
+        )
+    # Refuse a mismatched seed file: indexing another tree's leaf ids
+    # would either IndexError at the end of a long run or — worse —
+    # silently persist a meaningless error figure into the cache.
+    want = {"n": args.n, "depth": args.depth, "m": args.m_min}
+    bad = {k: (v, want[k]) for k, v in stamp.items() if v != want[k]}
+    if bad:
+        raise SystemExit(
+            f"--check-mlls: npz stamped {stamp} does not match this "
+            f"run {want} — wrong seed file"
+        )
+    if int(leaves.min()) < 0:
+        raise SystemExit("--check-mlls: npz contains negative leaf ids")
+    return leaves, mlls_f64
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000)
@@ -834,6 +864,25 @@ def main():
     if args.quick:
         args.n, args.test = 2000, 200
 
+    check_seed = None
+    if args.check_mlls:
+        # The gate only runs on the standard benchmark flow; refuse modes
+        # that return before it — a "gated" run must never exit 0 with the
+        # gate silently skipped.
+        incompatible = [name for name, on in (
+            ("--anchor", args.anchor),
+            ("--compare-shared", args.compare_shared),
+            ("--config5", args.config5),
+            ("--giant-mesh", bool(args.giant_mesh)),
+            ("--oracle-chunk", args.oracle_chunk is not None),
+        ) if on]
+        if incompatible:
+            raise SystemExit(
+                f"--check-mlls does not run under {' '.join(incompatible)} "
+                "(those modes exit before the leaf-mll gate) — drop one"
+            )
+        check_seed = _load_check_mlls(args)  # fail fast on a wrong file
+
     import jax
 
     if args.platform:
@@ -864,6 +913,12 @@ def main():
     xt = np.linspace(-0.05, 1.05, args.test).reshape(-1, 1)
     model = build_model(x, y, dtype, args.m_min, depth=args.depth,
                         overlap=not args.no_overlap)
+    if check_seed is not None and int(check_seed[0].max()) >= model.num_leaves:
+        raise SystemExit(
+            f"--check-mlls: npz leaf ids up to {int(check_seed[0].max())} "
+            f"exceed this model's {model.num_leaves} leaves — the npz was "
+            "seeded for a different tree"
+        )
 
     if args.oracle_chunk is not None:
         start, count = args.oracle_chunk
@@ -945,26 +1000,8 @@ def main():
         "mfu": mfu,
         "model_tflops": round(flops / 1e12, 3),
     }
-    if args.check_mlls:
-        with np.load(args.check_mlls) as f:
-            leaves, mlls_f64 = f["leaves"], f["mlls"]
-            stamp = {k: int(f[k]) for k in ("n", "depth", "m") if k in f}
-        # Refuse a mismatched seed file: indexing another tree's leaf ids
-        # would either IndexError at the end of a long run or — worse —
-        # silently persist a meaningless error figure into the cache.
-        want = {"n": args.n, "depth": args.depth, "m": args.m_min}
-        bad = {k: (v, want[k]) for k, v in stamp.items() if v != want[k]}
-        if bad:
-            raise SystemExit(
-                f"--check-mlls: npz stamped {stamp} does not match this "
-                f"run {want} — wrong seed file"
-            )
-        if int(leaves.min()) < 0 or int(leaves.max()) >= mll_tpu.shape[0]:
-            raise SystemExit(
-                f"--check-mlls: npz leaf ids up to {int(leaves.max())} "
-                f"exceed this model's {mll_tpu.shape[0]} leaves — the npz "
-                "was seeded for a different tree"
-            )
+    if check_seed is not None:
+        leaves, mlls_f64 = check_seed  # validated before the run
         err_mll = max(
             abs(float(mll_tpu[l]) - v) / max(1.0, abs(v))
             for l, v in zip(leaves, mlls_f64)

@@ -355,6 +355,15 @@ class BaseModel:
         }
         return time.perf_counter() - t0
 
+    def _giant_program(self, key, make_fn):
+        """Compile-once cache for the normal-bucket programs of a mesh
+        fit. Entries persist across refits with an unchanged normal/giant
+        split (``_fit_mesh`` invalidates otherwise); the jitted bodies may
+        close only over fit-invariant state (layout, leaf-id tables)."""
+        if key not in self._giant_jit:
+            self._giant_jit[key] = jax.jit(make_fn())
+        return self._giant_jit[key]
+
     def _giant_normal_predict(self, xt, ti=None, tm=None):
         """Normal-bucket streamed predictions after ``fit(mesh=...)``:
         ``(mu, var) [L, T|tmax]`` as WRITABLE float64 arrays with giant
@@ -368,20 +377,20 @@ class BaseModel:
         mu = np.zeros((L, T))
         var = np.ones((L, T))
         if nb:
-            key = ("all", T) if ti is None else ("routed", T)
-            if key not in self._giant_jit:
-                layout = self.layout
+            layout = self.layout
 
-                def f(th, batches, x, ti=None, tm=None, nids=nids, L=L):
+            def make_f(nids=nids, L=L):
+                def f(th, batches, x, ti=None, tm=None):
                     mu, var, _ = fitlib.bucketed_streamed_predict(
                         layout, th, batches, nids, L, x, ti, tm
                     )
                     return mu, var
+                return f
 
-                self._giant_jit[key] = jax.jit(f)
+            key = ("all", T) if ti is None else ("routed", T)
             args = ((self.theta, nb, xt) if ti is None
                     else (self.theta, nb, xt, ti, tm))
-            mu_b, var_b = self._giant_jit[key](*args)
+            mu_b, var_b = self._giant_program(key, make_f)(*args)
             # np.array: writable copies (np.asarray of a jax array in
             # the matching dtype is a read-only zero-copy view)
             mu = np.array(mu_b, dtype=np.float64)
@@ -568,17 +577,17 @@ class DSMGP(BaseModel):
         nb, nids = self._giant_normal
         mu = np.zeros((L, tmax))
         if nb:
-            key = ("routed_mean", tmax)
-            if key not in self._giant_jit:
-                layout = self.layout
+            layout = self.layout
 
-                def f(th, batches, alphas, x, ti, nids=nids, L=L):
+            def make_f(nids=nids, L=L):
+                def f(th, batches, alphas, x, ti):
                     return fitlib.bucketed_alpha_mean(
                         layout, th, batches, nids, L, alphas, x, ti
                     )
+                return f
 
-                self._giant_jit[key] = jax.jit(f)
-            mu = np.array(self._giant_jit[key](
+            # np.array: writable copy (giant rows are filled below)
+            mu = np.array(self._giant_program(("routed_mean", tmax), make_f)(
                 self.theta, nb, self._alpha_cache, xt, ti
             ), dtype=np.float64)
         for leaf_id, (Lf, alpha, xp, n, kid) in self._giant.items():

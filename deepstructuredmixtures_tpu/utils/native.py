@@ -165,6 +165,11 @@ def pack_leaves(obs_list, nmax: int, X: np.ndarray, y: np.ndarray, npdt):
     np.cumsum(lens[:-1], out=starts[1:])
     obs = (np.ascontiguousarray(np.concatenate(obs_list), dtype=np.int64)
            if Lb else np.zeros(0, dtype=np.int64))
+    if y.shape[0] != X.shape[0]:
+        # The C++ kernel indexes y with the same ids as X; a shorter y
+        # would be a silent heap over-read (the NumPy fallback raises).
+        raise ValueError(
+            f"pack_leaves: y has {y.shape[0]} rows, X has {X.shape[0]}")
     if obs.size and (int(obs.min()) < 0 or int(obs.max()) >= X.shape[0]):
         raise ValueError("pack_leaves: observation index out of range")
     xb = np.zeros((Lb, nmax, D), dtype=npdt)

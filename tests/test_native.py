@@ -87,3 +87,8 @@ def test_pack_leaves_rejects_oversized_or_out_of_range():
     bad_idx = [np.array([0, 99, 100], dtype=np.int64)]  # 100 out of range
     with pytest.raises(ValueError, match="out of range"):
         native.pack_leaves(bad_idx, 8, X, y, np.float64)
+    # mismatched y: id 99 is in-bounds for X but one past a 99-row y —
+    # the C++ kernel would heap-over-read where the NumPy fallback raises
+    ok_idx = [np.array([0, 99], dtype=np.int64)]
+    with pytest.raises(ValueError, match="99 rows"):
+        native.pack_leaves(ok_idx, 8, X, y[:99], np.float64)
