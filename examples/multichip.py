@@ -11,6 +11,11 @@ reductions; the hyper vector stays replicated. A single giant expert can
 additionally be row-sharded through the distributed blocked Cholesky
 (``GaussianProcess.fit(mesh=...)``).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
