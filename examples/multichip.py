@@ -30,6 +30,20 @@ from deepstructuredmixtures_tpu.parallel import (
 
 
 def main():
+    # Honor an explicit JAX_PLATFORMS=cpu even where a sitecustomize pins
+    # the platform config (e.g. a single-chip tunnel): the documented
+    # virtual-CPU-mesh invocation must actually produce the CPU devices.
+    want = os.environ.get("JAX_PLATFORMS", "")
+    cfg = str(jax.config.jax_platforms or "")
+    if want == "cpu" and cfg and cfg != "cpu":
+        try:
+            from jax._src import xla_bridge as _xb
+
+            if not _xb.backends_are_initialized():
+                jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     ndev = len(jax.devices())
     print(f"{ndev} devices: {jax.devices()[0].platform}")
     mesh = make_mesh(ndev)
