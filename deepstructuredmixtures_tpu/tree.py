@@ -86,9 +86,18 @@ def get_splits(
     results and RNG trajectory (the Beta/median blend, retry loop, and
     branch order are unchanged). At the N=500k scale-frontier build the
     original per-call ``np.median`` (flatten + partition of the node's
-    full column) dominated ``build_tree`` (~20 s of 33 s, profiled)."""
+    full column) dominated ``build_tree`` (~20 s of 33 s, profiled).
+
+    The column is cast to float64 up front: split arithmetic (the even-size
+    median midpoint, the Beta/median blend, the ``<= s_new`` count
+    comparisons) then runs in one dtype regardless of the input's, so the
+    split list is deterministic across input dtypes. (Without the cast, an
+    f32 column computes its median midpoint in f32 while the recursion
+    mixes f64 scalars — trees built from float32 data would differ from
+    the same data in float64.)"""
     return _get_splits_sorted(
-        np.sort(np.asarray(Xd)), lb_d, ub_d, min_data, eps, K, rng, depth
+        np.sort(np.asarray(Xd, dtype=np.float64)), lb_d, ub_d, min_data,
+        eps, K, rng, depth
     )
 
 

@@ -183,3 +183,22 @@ def test_get_splits_matches_naive_scan():
             want = naive(xd, -np.inf, np.inf, 10, eps, 6,
                          np.random.default_rng(100 + seed))
             assert got == want
+
+
+def test_get_splits_dtype_independent():
+    """float32 input columns must produce the SAME split list as the same
+    values in float64 (get_splits casts to f64 up front): split arithmetic
+    is deterministic across input dtypes, so a tree built from f32 data is
+    reproducible against its f64 twin."""
+    for seed in range(12):
+        r = np.random.default_rng(seed)
+        n = int(r.integers(50, 800))
+        xd32 = r.uniform(0, 1, n).astype(np.float32)
+        if seed % 2:
+            xd32 = np.round(xd32, 2)
+        for eps in (0.0, 0.3, 0.9):
+            got32 = get_splits(xd32, -np.inf, np.inf, 10, eps, 6,
+                               np.random.default_rng(100 + seed))
+            got64 = get_splits(xd32.astype(np.float64), -np.inf, np.inf,
+                               10, eps, 6, np.random.default_rng(100 + seed))
+            assert got32 == got64
