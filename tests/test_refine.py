@@ -24,8 +24,8 @@ def _build():
 
 
 def _oracle_leaf(model, l, xt):
-    """Full-f64 NumPy mll + predictive mean for one leaf (R&W Alg. 2.1,
-    what the reference's update_cholesky!/prediction compute)."""
+    """Full-f64 NumPy mll + predictive mean/variance for one leaf (R&W
+    Alg. 2.1, what the reference's update_cholesky!/prediction compute)."""
     plan = model.plan
     obs = plan.leaf_obs[l]
     xl = X[obs]
@@ -40,8 +40,11 @@ def _oracle_leaf(model, l, xt):
         yl @ a + 2 * np.log(np.diag(L)).sum() + len(obs) * np.log(2 * np.pi)
     )
     d2t = ((xl[:, None, :] - xt[None, :, :]) ** 2).sum(-1)
-    mu = plan.leaf_mean[l] + np.exp(-0.5 * d2t).T @ a
-    return mll, mu
+    Knt = np.exp(-0.5 * d2t)
+    mu = plan.leaf_mean[l] + Knt.T @ a
+    V = sla.solve_triangular(L, Knt, lower=True)
+    var = 1.0 - (V * V).sum(0) + noise  # k_tt = sigma^2 = 1 (logsigma=0)
+    return mll, mu, var
 
 
 def test_refined_mll_and_mean_converge_past_f32_floor():
@@ -53,19 +56,22 @@ def test_refined_mll_and_mean_converge_past_f32_floor():
 
     runs = {}
     for steps in (0, 2):
-        mu, _, mll = fitlib.bucketed_streamed_predict(
+        mu, var, mll = fitlib.bucketed_streamed_predict(
             layout, model.theta, model.bucket_batches, ids, L, xtd,
             refine_steps=steps,
         )
-        runs[steps] = (np.asarray(mu), np.asarray(mll))
+        runs[steps] = (np.asarray(mu), np.asarray(mll), np.asarray(var))
 
     mll_err = {0: 0.0, 2: 0.0}
     mu_err = {0: 0.0, 2: 0.0}
+    var_err = {0: 0.0, 2: 0.0}
     for l in range(L):
-        mll_o, mu_o = _oracle_leaf(model, l, xt)
+        mll_o, mu_o, var_o = _oracle_leaf(model, l, xt)
         for s in (0, 2):
             mll_err[s] = max(mll_err[s], abs(runs[s][1][l] - mll_o) / abs(mll_o))
             mu_err[s] = max(mu_err[s], np.max(np.abs(runs[s][0][l] - mu_o)))
+            var_err[s] = max(var_err[s], np.max(
+                np.abs(runs[s][2][l] - var_o) / np.abs(var_o)))
 
     # the f32 floor must be visibly beaten, not just nudged
     assert mll_err[2] < mll_err[0] / 20 or mll_err[2] < 2e-6, (
@@ -73,6 +79,9 @@ def test_refined_mll_and_mean_converge_past_f32_floor():
     )
     assert mll_err[2] < 5e-6, mll_err
     assert mu_err[2] < max(mu_err[0] / 20, 5e-6), mu_err
+    # VERDICT r3 top item: the VARIANCE must also leave the f32 floor
+    assert var_err[2] < max(var_err[0] / 20, 1e-5), var_err
+    assert var_err[2] < 1e-5, var_err
 
 
 def test_model_predict_refine_steps_surface():
@@ -82,12 +91,13 @@ def test_model_predict_refine_steps_surface():
     model.update()
     m0, v0 = model.predict(xt)
     m2, v2 = model.predict(xt, refine_steps=2)
-    # same model, same routing: refined mean close to unrefined (the f32
-    # error is small in absolute terms) but not bitwise identical, and the
-    # variance path is unchanged
+    # same model, same routing: refined mean/variance close to unrefined
+    # (the f32 error is small in absolute terms) but not bitwise identical
     assert np.max(np.abs(np.asarray(m2) - np.asarray(m0))) < 1e-2
     assert np.all(np.isfinite(np.asarray(m2)))
     assert np.all(np.asarray(v2) > 0)
+    assert np.max(np.abs(np.asarray(v2) - np.asarray(v0))
+                  / np.abs(np.asarray(v0))) < 1e-1
 
 
 def test_refine_requires_x64():
