@@ -42,11 +42,16 @@ class Predictor:
     requests are padded up to the nearest class (and the padding stripped
     from the response), so request latency never includes XLA compilation.
 
-    ``store`` / ``factor_budget``: with the default ``store='auto'`` (or
-    ``'full'``), construction MUTATES the passed ``model`` as a side
-    effect — it refits with ``store='full'``, replacing a light
-    (mll-only) posterior with the multi-GiB cached factor set, which
-    other holders of the same model object will observe. Pass
+    ``store`` / ``factor_budget``: with the default ``store='auto'``,
+    construction MUTATES the passed ``model`` as a side effect — it
+    refits with a BUDGETED per-bucket factor cache
+    (``model.fit(store='hybrid', factor_budget=...)``): the largest
+    buckets' factors persist (greedy by FLOPs saved per byte — an
+    [n, n] factor avoids an n³/3 refactorization per request, so payoff
+    per cached byte grows with n) and the rest stream, which other
+    holders of the same model object will observe. ``store='full'``
+    forces the monolithic all-leaves cache; ``store='hybrid'`` forces
+    the budgeted cache even when a posterior already exists; pass
     ``store='light'`` to leave the model's posterior untouched (requests
     then stream a full refit each time).
     """
@@ -70,18 +75,26 @@ class Predictor:
         self._lb = np.asarray(model.X).min(axis=0)
         self._ub = np.asarray(model.X).max(axis=0)
         self._lock = threading.Lock()  # jax dispatch is not thread-safe here
-        if store == "full" or (
-            store == "auto" and model._factor_bytes() <= factor_budget
-        ):
-            # cache the [L, Nmax, Nmax] factors for low-latency prediction
-            # (refit only if the model has no cached factors yet); chunk
-            # the factorization so the fit WORKSPACE stays bounded even
-            # when the factor cache itself is several GiB
+        if store == "full":
+            # monolithic [L, Nmax, Nmax] cache (refit only if the model
+            # has no cached factors yet); chunk the factorization so the
+            # fit WORKSPACE stays bounded even when the factor cache
+            # itself is several GiB
             if model.posterior is None or model.posterior.chol is None:
                 from .fit import default_chunk
 
                 model.fit(store="full",
                           chunk=default_chunk(model.plan.nmax, model.dtype))
+        elif store == "hybrid" or (store == "auto" and (
+            model.posterior is None or model.posterior.chol is None
+        )):
+            # budgeted per-bucket cache; skip the refit when the budget
+            # admits nothing AND a posterior already exists (the old
+            # streamed behaviour, minus a pointless refit)
+            would = model._hybrid_cached_flags(factor_budget)
+            if (store == "hybrid" or any(would)
+                    or model.posterior is None):
+                model.fit(store="hybrid", factor_budget=factor_budget)
         if warm:
             model._ensure_posterior()
             # Warm with points SPREAD over the training box: the routed

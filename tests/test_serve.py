@@ -81,14 +81,73 @@ def test_http_endpoint_roundtrip():
 
 
 def test_predictor_auto_caches_factors():
-    """The default predictor upgrades a light-store model to cached
-    factors when they fit the serving budget (latency: cached routed
-    solve vs full streamed refit per request)."""
+    """The default predictor upgrades a light-store model to the BUDGETED
+    per-bucket factor cache (latency: cached routed solve vs full streamed
+    refit per request) — with the default budget every bucket fits."""
     m = _model()
     m.fit(store="light")
     assert m.posterior.chol is None
     Predictor(m, warm_sizes=(16,), warm=True)  # auto store
-    assert m.posterior.chol is not None
+    assert m._bucket_factors is not None
+    assert all(f is not None for f in m._bucket_factors)
+
+
+def test_hybrid_partial_factor_cache_parity_and_budget():
+    """fit(store='hybrid', factor_budget=B): only the largest buckets'
+    factors fit the budget (greedy by FLOPs-saved-per-byte ∝ n); the
+    honored footprint stays ≤ B; prediction is EXACTLY the full-cache /
+    streamed result either way."""
+    def _model2():  # enough data for several size buckets
+        rng = np.random.default_rng(3)
+        x = np.sort(rng.uniform(0, 1, 1500)).reshape(-1, 1)
+        y = np.sin(x[:, 0] * 7) + 0.1 * rng.standard_normal(1500)
+        return dsm.build_dsmgp(x, y, V=2, K=3, M=25,
+                               kernel=dsm.IsoSE(0.0, 0.0),
+                               log_noise=-1.0, seed=2, do_fit=False)
+
+    m = _model2()
+    item = np.dtype(m.dtype).itemsize
+    sizes = [b.num_leaves * b.nmax * b.nmax * item
+             for b in m.bucket_batches]
+    assert len(sizes) >= 2  # the test needs a real partition
+    # budget that fits the largest bucket but not all of them
+    big = max(range(len(sizes)), key=lambda k: m.bucket_batches[k].nmax)
+    budget = sizes[big] + min(sizes) // 2
+    m.fit(store="hybrid", factor_budget=budget)
+    cached = [f is not None for f in m._bucket_factors]
+    assert cached[big]
+    assert not all(cached)
+    spent = sum(s for s, c in zip(sizes, cached) if c)
+    assert spent <= budget
+    xt = np.linspace(-0.05, 1.05, 33).reshape(-1, 1)
+    mean_h, var_h = m.predict(xt)
+
+    m2 = _model2()
+    m2.fit(store="full")
+    mean_f, var_f = m2.predict(xt)
+    np.testing.assert_allclose(np.asarray(mean_h), np.asarray(mean_f),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var_h), np.asarray(var_f),
+                               atol=1e-9)
+    # full-budget hybrid: everything cached, same answers
+    m.fit(store="hybrid")
+    assert all(f is not None for f in m._bucket_factors)
+    mean_a, var_a = m.predict(xt)
+    np.testing.assert_allclose(np.asarray(mean_a), np.asarray(mean_f),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var_a), np.asarray(var_f),
+                               atol=1e-9)
+    # PoE-family shared-test-point path through the hybrid cache
+    p = _model2()  # fresh tree, same data
+    p.fit(store="hybrid", factor_budget=budget)
+    mu_h, vv_h = p._leaf_predict_all(np.asarray(xt, p.dtype))
+    p2 = _model2()
+    p2.fit(store="full")
+    mu_f, vv_f = p2._leaf_predict_all(np.asarray(xt, p2.dtype))
+    np.testing.assert_allclose(np.asarray(mu_h), np.asarray(mu_f),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(vv_h), np.asarray(vv_f),
+                               atol=1e-9)
 
 
 def test_predictor_over_streamed_light_store():
