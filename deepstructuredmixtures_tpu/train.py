@@ -669,6 +669,7 @@ def finetune(
     mesh=None,
     axis=None,
     sparse: Optional[bool] = None,
+    leaves=None,
 ):
     """Fine-tune per-leaf hyperparameters (≙ ``finetune!``,
     ``finetuning.jl:3-88``).
@@ -697,6 +698,14 @@ def finetune(
     leaf) pairs with nonzero overlap weight instead of all L×L pairs
     (exactly equal gradients; see :func:`make_finetune_vg_bucketed`).
     ``None`` auto-enables below 25% overlap density.
+
+    ``leaves``: optional array of leaf indices to tune — only those
+    leaves' candidate hypers are evaluated and updated per iteration
+    (other rows of ``H`` keep their values; the early-stop value is the
+    sum of the TUNED leaves' own mlls). The reference round-robins over
+    every leaf (``finetuning.jl:37``); the subset form makes a targeted
+    refinement (e.g. the worst-mll experts) affordable at frontier leaf
+    counts, where a full L-candidate sweep is quadratic in L.
     """
     optimizer = optimizer or optax.adam(1e-3)
     # model.batch is lazy (mostly padding at scale); only the non-bucketed
@@ -714,11 +723,33 @@ def finetune(
             "weighting (finetuning.jl:54); this model was built with "
             "overlap=False — rebuild with overlap=True"
         )
-    Dd = plan.overlap.copy()
-    np.fill_diagonal(Dd, self_weight)
-    Dd = jnp.asarray(Dd, dtype=model.dtype)
+    if leaves is None:
+        cand = np.arange(L)
+    else:
+        cand = np.unique(np.asarray(leaves, dtype=np.int64))
+        if cand.size == 0 or cand[0] < 0 or cand[-1] >= L:
+            raise ValueError(
+                f"finetune(leaves=...) indices must be unique ints in "
+                f"[0, {L}); got range [{cand[0] if cand.size else '-'}, "
+                f"{cand[-1] if cand.size else '-'}]"
+            )
+    C = cand.size
+    Dov = plan.overlap
+    try:
+        import scipy.sparse as sp
 
-    cand_chunk = cand_chunk or max(1, min(L, 4096 // max(plan.nmax, 1)))
+        _is_sp = sp.issparse(Dov)
+    except ImportError:  # pragma: no cover
+        _is_sp = False
+    # candidate rows of D, densified (a [C, L] block — cheap even when the
+    # full D is stored sparse at frontier leaf counts)
+    Dd = (np.asarray(Dov[cand].todense(), dtype=np.float64) if _is_sp
+          else np.array(Dov[cand], dtype=np.float64))
+    Dd[np.arange(C), cand] = self_weight
+    Dd = jnp.asarray(Dd, dtype=model.dtype)
+    cand_j = jnp.asarray(cand)
+
+    cand_chunk = cand_chunk or max(1, min(C, 4096 // max(plan.nmax, 1)))
 
     per_bucket = bucketed
     if per_bucket is None:
@@ -744,14 +775,20 @@ def finetune(
             mesh=mesh, axis=naxis or "experts", sparse=sparse,
         )
 
-        apply_fn = jax.jit(
-            lambda G, opt_state, H: optimizer.update(-G, opt_state, H)
-        )
-        jdiag = np.arange(L)
+        def _apply(G, opt_state, H):
+            # scatter the candidate grads into full-H rows (non-tuned rows
+            # see zero grad -> zero adam update from zero-initialized
+            # moments, so they never move)
+            Gf = jnp.zeros_like(H).at[cand_j].set(G)
+            updates, opt_state = optimizer.update(-Gf, opt_state, H)
+            return updates, opt_state
+
+        apply_fn = jax.jit(_apply)
+        jdiag = np.arange(C)
 
         def iteration(H, opt_state):
-            mll_c, G = vg_all(H, Dd)  # vg pads candidates internally
-            own = np.asarray(mll_c)[jdiag, jdiag]  # candidate j's own mll
+            mll_c, G = vg_all(H[cand_j], Dd)  # vg pads candidates internally
+            own = np.asarray(mll_c)[jdiag, cand]  # candidate j's own mll
             updates, opt_state = apply_fn(G, opt_state, H)
             return optax.apply_updates(H, updates), opt_state, float(own.sum())
     else:
@@ -773,12 +810,13 @@ def finetune(
 
         @jax.jit
         def iteration(H, opt_state):
-            js = jnp.arange(L)
-            if cand_chunk >= L:
-                G, own = batched(H, Dd, js)
+            js = cand_j
+            Hc = H[cand_j]
+            if cand_chunk >= C:
+                G, own = batched(Hc, Dd, js)
             else:
-                pad = (-L) % cand_chunk
-                Hp = jnp.concatenate([H, H[:pad]], axis=0) if pad else H
+                pad = (-C) % cand_chunk
+                Hp = jnp.concatenate([Hc, Hc[:pad]], axis=0) if pad else Hc
                 Dp = jnp.concatenate([Dd, Dd[:pad]], axis=0) if pad else Dd
                 jp = jnp.concatenate([js, js[:pad]], axis=0) if pad else js
                 nc = Hp.shape[0] // cand_chunk
@@ -790,9 +828,10 @@ def finetune(
                     return batched(sl(Hp), sl(Dp), sl(jp))
 
                 G, own = lax.map(body, jnp.arange(nc))
-                G = G.reshape((-1,) + G.shape[2:])[:L]
-                own = own.reshape(-1)[:L]
-            updates, opt_state = optimizer.update(-G, opt_state, H)
+                G = G.reshape((-1,) + G.shape[2:])[:C]
+                own = own.reshape(-1)[:C]
+            Gf = jnp.zeros_like(H).at[cand_j].set(G)
+            updates, opt_state = optimizer.update(-Gf, opt_state, H)
             return optax.apply_updates(H, updates), opt_state, jnp.sum(own)
 
     opt_state = optimizer.init(H)

@@ -6,7 +6,14 @@
 // Julia. Here the device math is XLA/Pallas and these host loops are C++:
 //
 //  * intersect_counts — pairwise popcount(AND) over packed leaf-observation
-//    bitsets: the kernel inside the overlap matrix D.
+//    bitsets: the kernel inside the overlap matrix D (dense path).
+//  * box_pairs_count / box_pairs_fill — sweep enumeration of leaf pairs
+//    whose bounding boxes intersect: the O(L^2 D) prefilter that makes the
+//    overlap analysis sparse (leaves overlap only if their boxes do), so
+//    the frontier 20k-leaf trees no longer need O(L^2 N) bitmask work.
+//  * pair_intersect — |obs_i ∩ obs_j| for the candidate pairs via sorted
+//    merge, with an O(1) fast path for contiguous index ranges (sorted
+//    1-D trees produce exactly those).
 //  * route_box — half-open box membership of test points against leaf
 //    bounding boxes: the routing kernel behind prediction.
 //  * pack_leaves_* — the data loader: ragged->padded gather of each leaf's
@@ -45,6 +52,119 @@ void dsm_intersect_counts(const uint64_t* masks, int64_t L, int64_t W,
       out[i * L + j] = c;
       out[j * L + i] = c;
     }
+  }
+}
+
+// Box-intersection pair sweep. Boxes are half-open (lb < x <= ub), so two
+// leaves' observation sets can only intersect when lb_i < ub_j AND
+// lb_j < ub_i on EVERY dimension (strict: segments meeting at a split
+// threshold share no points). `order` is the leaf permutation sorted
+// ascending by lb[:, 0]; the inner loop then terminates at the first j
+// with lb0_j >= ub0_i (no later candidate can intersect on dim 0).
+// Emits canonical pairs (min, max). Template over emit vs count so the
+// sweep runs twice (count -> host alloc -> fill) without code drift.
+static int64_t box_pairs_sweep(const double* lb, const double* ub, int64_t L,
+                               int64_t D, const int64_t* order, int32_t* pi,
+                               int32_t* pj) {
+  int64_t cnt = 0;
+  for (int64_t a = 0; a < L; ++a) {
+    const int64_t i = order[a];
+    const double hi0 = ub[i * D];
+    for (int64_t b = a + 1; b < L; ++b) {
+      const int64_t j = order[b];
+      if (lb[j * D] >= hi0) break;
+      bool ok = true;
+      for (int64_t d = 1; d < D; ++d) {
+        if (!(lb[i * D + d] < ub[j * D + d] &&
+              lb[j * D + d] < ub[i * D + d])) {
+          ok = false;
+          break;
+        }
+      }
+      if (ok) {
+        if (pi) {
+          pi[cnt] = static_cast<int32_t>(i < j ? i : j);
+          pj[cnt] = static_cast<int32_t>(i < j ? j : i);
+        }
+        ++cnt;
+      }
+    }
+  }
+  return cnt;
+}
+
+int64_t dsm_box_pairs_count(const double* lb, const double* ub, int64_t L,
+                            int64_t D, const int64_t* order) {
+  return box_pairs_sweep(lb, ub, L, D, order, nullptr, nullptr);
+}
+
+void dsm_box_pairs_fill(const double* lb, const double* ub, int64_t L,
+                        int64_t D, const int64_t* order, int32_t* pi,
+                        int32_t* pj) {
+  box_pairs_sweep(lb, ub, L, D, order, pi, pj);
+}
+
+// |obs_i ∩ obs_j| per candidate pair. obs: concatenated ASCENDING-sorted
+// per-leaf index lists (starts/lens index into it); contig[l] marks leaves
+// whose indices form a contiguous range (obs[last]-obs[first]+1 == len —
+// O(1) intersection). General case: sorted merge, narrowed by binary
+// search to the pair's overlapping value range first.
+static int64_t lower_bound_i64(const int64_t* a, int64_t n, int64_t v) {
+  int64_t lo = 0, hi = n;
+  while (lo < hi) {
+    int64_t mid = (lo + hi) >> 1;
+    if (a[mid] < v)
+      lo = mid + 1;
+    else
+      hi = mid;
+  }
+  return lo;
+}
+
+void dsm_pair_intersect(const int64_t* obs, const int64_t* starts,
+                        const int64_t* lens, const uint8_t* contig,
+                        const int32_t* pi, const int32_t* pj, int64_t P,
+                        int64_t* out) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic, 64)
+#endif
+  for (int64_t p = 0; p < P; ++p) {
+    const int64_t i = pi[p], j = pj[p];
+    const int64_t *A = obs + starts[i], *B = obs + starts[j];
+    const int64_t na = lens[i], nb = lens[j];
+    if (na == 0 || nb == 0) {
+      out[p] = 0;
+      continue;
+    }
+    const int64_t lo = A[0] > B[0] ? A[0] : B[0];
+    const int64_t hi = A[na - 1] < B[nb - 1] ? A[na - 1] : B[nb - 1];
+    if (lo > hi) {
+      out[p] = 0;
+      continue;
+    }
+    if (contig[i] && contig[j]) {
+      out[p] = hi - lo + 1;
+      continue;
+    }
+    // narrow both lists to [lo, hi], then linear merge
+    int64_t ai = lower_bound_i64(A, na, lo);
+    int64_t bi = lower_bound_i64(B, nb, lo);
+    const int64_t ae = lower_bound_i64(A, na, hi + 1);
+    const int64_t be = lower_bound_i64(B, nb, hi + 1);
+    int64_t c = 0;
+    while (ai < ae && bi < be) {
+      const int64_t va = A[ai], vb = B[bi];
+      if (va == vb) {
+        ++c;
+        ++ai;
+        ++bi;
+      } else if (va < vb) {
+        ++ai;
+      } else {
+        ++bi;
+      }
+    }
+    out[p] = c;
   }
 }
 

@@ -251,3 +251,73 @@ def test_path_matrix_property_consistent_with_sparse_gather():
     sparse = np.asarray(inferlib.path_logweights(PLAN, lw))
     assert dense.shape == (PLAN.num_leaves,)
     np.testing.assert_allclose(dense, sparse, rtol=0, atol=1e-12)
+
+
+def test_sparse_overlap_matches_dense_and_schedule_parity():
+    """The sparse (CSR) overlap representation must equal the dense walk
+    EXACTLY on single-kernel trees — including through build_schedule
+    (main-partner argmax, case analysis, all group arrays)."""
+    import dataclasses
+
+    import scipy.sparse as sp
+
+    from deepstructuredmixtures_tpu.plan import build_schedule
+
+    r = np.random.default_rng(5)
+    n = 2500
+    x = np.sort(r.uniform(0, 1, n)).reshape(-1, 1)
+    y = np.sin(x[:, 0] * 10) + r.normal(0, 0.2, n)
+    cfg = DSMGPConfig(None, dsm.IsoSE(0.0, 0.0), -1.0, 25, 4, 3, 2, 0.5, True)
+    root = build_tree(x, y, cfg, np.random.default_rng(2))
+    pd = compile_tree(root, x, overlap_format="dense")
+    ps = compile_tree(root, x, overlap_format="sparse")
+    assert sp.issparse(ps.overlap) and not sp.issparse(pd.overlap)
+    assert np.array_equal(np.asarray(ps.overlap.todense()), pd.overlap)
+    sd = build_schedule(pd)
+    ss = build_schedule(ps)
+    for f in dataclasses.fields(sd):
+        assert np.array_equal(getattr(sd, f.name), getattr(ss, f.name)), f.name
+    assert sd.num_derived > 0  # the tree must actually exercise sharing
+
+
+def test_sparse_overlap_multid_noncontiguous_obs():
+    """Multi-D trees produce NON-contiguous observation index sets — the
+    sorted-merge intersection path (not the O(1) contiguous-range fast
+    path) must still match the dense walk exactly."""
+    import scipy.sparse as sp
+
+    r = np.random.default_rng(6)
+    n = 900
+    x = r.uniform(0, 1, (n, 3))
+    y = np.sin(x[:, 0] * 6) * x[:, 1] + r.normal(0, 0.2, n)
+    cfg = DSMGPConfig(None, dsm.IsoSE(0.0, 0.0), -1.0, 25, 3, 3, 2, 0.5, True)
+    root = build_tree(x, y, cfg, np.random.default_rng(3))
+    leaves = get_leaves(root)
+    contig = [int(l.obs[-1]) - int(l.obs[0]) + 1 == l.obs.size for l in leaves]
+    assert not all(contig)  # the test must exercise the merge path
+    pd = compile_tree(root, x, overlap_format="dense")
+    ps = compile_tree(root, x, overlap_format="sparse")
+    assert sp.issparse(ps.overlap)
+    assert np.array_equal(np.asarray(ps.overlap.todense()), pd.overlap)
+
+
+def test_sparse_overlap_rejects_multikernel():
+    """Cross-kernel pairs carry D = 1.0 (reference quirk) — structurally
+    dense; the sparse format must refuse rather than silently drop them."""
+    r = np.random.default_rng(7)
+    n = 400
+    x = np.sort(r.uniform(0, 1, n)).reshape(-1, 1)
+    y = np.sin(x[:, 0] * 6) + r.normal(0, 0.2, n)
+    cfg = DSMGPConfig(
+        None, [dsm.IsoSE(0.0, 0.0), dsm.IsoLinear(0.0)], -1.0, 25, 3, 2, 2,
+        0.5, True,
+    )
+    root = build_tree(x, y, cfg, np.random.default_rng(4))
+    try:
+        compile_tree(root, x, overlap_format="sparse")
+        raise AssertionError("expected ValueError for multi-kernel sparse")
+    except ValueError as e:
+        assert "single-kernel" in str(e)
+    # auto on a multi-kernel tree stays dense regardless of leaf count
+    p = compile_tree(root, x, overlap_format="auto")
+    assert isinstance(p.overlap, np.ndarray)

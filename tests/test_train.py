@@ -267,3 +267,45 @@ def test_finetune_sparse_kwarg_api_parity():
     np.testing.assert_allclose(h1, h2, rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(np.asarray(m1.theta), np.asarray(m2.theta),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_finetune_sparse_overlap_matches_dense():
+    """finetune on a model whose D is stored sparse (CSR) must reproduce
+    the dense-D run exactly — same early-stop history, same final hypers."""
+    md = _model(seed=31, do_fit=False, overlap_format="dense")
+    ms = _model(seed=31, do_fit=False, overlap_format="sparse")
+    import scipy.sparse as sp
+
+    assert sp.issparse(ms.plan.overlap) and not sp.issparse(md.plan.overlap)
+    hd = dsm.finetune(md, optax.adam(1e-2), iterations=4, lam=1e-9)
+    hs = dsm.finetune(ms, optax.adam(1e-2), iterations=4, lam=1e-9)
+    np.testing.assert_array_equal(hd, hs)
+    np.testing.assert_array_equal(np.asarray(md.theta), np.asarray(ms.theta))
+
+
+def test_finetune_leaf_subset():
+    """finetune(leaves=[...]) must tune ONLY those leaves' rows (others
+    keep the tied start), track the tuned leaves' own-mll sum, and
+    improve it."""
+    m = _model(seed=32)
+    dsm.train(m, optax.adam(5e-2), iterations=20, lam=1e-6, randinit=False)
+    L = m.num_leaves
+    theta0 = np.asarray(m.theta)
+    pick = np.array([0, L - 1])
+    hist = dsm.finetune(m, optax.adam(1e-2), iterations=6, lam=1e-9,
+                        leaves=pick)
+    H = np.asarray(m.theta)
+    assert H.shape == (L,) + theta0.shape
+    untouched = np.setdiff1d(np.arange(L), pick)
+    np.testing.assert_array_equal(
+        H[untouched], np.broadcast_to(theta0, (untouched.size,) + theta0.shape)
+    )
+    assert not np.allclose(H[pick], theta0)  # tuned rows moved
+    assert hist[-1] > hist[0]  # sum of tuned leaves' own mlls ascends
+    # out-of-range / empty subsets fail loudly
+    for bad in ([L], [-1], []):
+        try:
+            dsm.finetune(m, optax.adam(1e-2), iterations=1, leaves=bad)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
