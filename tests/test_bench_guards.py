@@ -28,7 +28,7 @@ def _write(tmp_path, name="seed.npz", leaves=None, mlls=None, **stamp):
 def test_valid_seed_loads(tmp_path):
     a = _args()
     a.check_mlls = _write(tmp_path, n=1000, depth=4, m=30)
-    leaves, mlls = bench._load_check_mlls(a)
+    leaves, mlls, moments = bench._load_check_mlls(a)
     np.testing.assert_array_equal(leaves, [0, 3, 7])
     assert mlls.shape == (3,)
 
@@ -37,7 +37,7 @@ def test_unstamped_legacy_seed_still_loads(tmp_path):
     # npz files seeded before the stamp existed carry no (n, depth, m)
     a = _args()
     a.check_mlls = _write(tmp_path)
-    leaves, _ = bench._load_check_mlls(a)
+    leaves, _, _ = bench._load_check_mlls(a)
     assert leaves.size == 3
 
 
