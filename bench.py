@@ -184,12 +184,17 @@ def run_tpu(model, xt, iters=3, budget=2 << 30, refine_steps=0,
         # them as mlir constants, which both duplicates them on HBM and
         # forces a d2h fetch at trace time (observed to fail with
         # RESOURCE_EXHAUSTED at N=1M right after the 43 bucket programs).
+        # under refinement the bucket programs emit f64 moments/mlls and
+        # the combine must stay f64 (the moment-matching cancellation
+        # re-floors at ~2.4e-3 in f32 — see ops/refine.refined_predict)
+        dt_comb = jnp.float64 if refine_steps else dt_model
+
         @jax.jit
         def combine(mus, vars_, mlls, ti, tm):
             tmax = ti.shape[1]
-            mu = jnp.zeros((L, tmax), dtype=dt_model)
-            var = jnp.ones((L, tmax), dtype=dt_model)
-            mll = jnp.zeros((L,), dtype=dt_model)
+            mu = jnp.zeros((L, tmax), dtype=dt_comb)
+            var = jnp.ones((L, tmax), dtype=dt_comb)
+            mll = jnp.zeros((L,), dtype=dt_comb)
             for bids, m, v, ml in zip(ids, mus, vars_, mlls):
                 idx = jnp.asarray(bids)
                 mu = mu.at[idx].set(m)
@@ -431,7 +436,9 @@ def _np_moment_match(plan, mu, var, lw, tidx, tmask, T):
         np.add.at(e, seg[msk], np.exp(xv[msk] - m_safe[seg[msk]]))
         return m_safe + np.log(e)
 
-    lmu = seg_lse(wf + np.log(muf - shift[seg]))
+    # masked-out entries never reach seg_lse; keep them out of the log
+    # so padded leaf moments don't raise invalid-value warnings
+    lmu = seg_lse(wf + np.log(np.where(msk, muf - shift[seg], 1.0)))
     lmu2 = seg_lse(wf + np.log(np.maximum(muf * muf, 1e-300)))
     lvar = seg_lse(wf + np.log(varf))
     mean = np.exp(lmu) + shift

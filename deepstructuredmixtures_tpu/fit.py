@@ -709,7 +709,16 @@ def bucketed_streamed_predict(
     scattered back to global leaf order: ``(mu [L, T|tmax], var, mll [L])``.
     ``refine_steps``: see :func:`streamed_leaf_predict`."""
     T = xt.shape[0] if tidx is None else tidx.shape[1]
-    dt = batches[0].x.dtype
+    # Under refinement the per-leaf moments/mlls come back in f64 and the
+    # scatter buffers must keep them there: the caller's SPN combine
+    # (weight update + log-space moment matching) then runs in f64, so
+    # its exp/log cancellations don't re-floor the refined variance at
+    # the f32 combine bound (~2.4e-3 measured).
+    if refine_steps:
+        from .ops.refine import _require_x64
+
+        _require_x64()  # fail here, not after tracing f32-truncated buffers
+    dt = jnp.float64 if refine_steps else batches[0].x.dtype
     mu = jnp.zeros((L, T), dtype=dt)
     var = jnp.ones((L, T), dtype=dt)
     mll = jnp.zeros((L,), dtype=dt)

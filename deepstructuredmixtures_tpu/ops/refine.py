@@ -134,7 +134,11 @@ def refined_mll(batch, Lf, alpha64):
     quad = jnp.sum(yc64 * alpha64, axis=-1)
     logdet = chol.masked_logdet(Lf, batch.mask).astype(jnp.float64)
     nn = batch.n.astype(jnp.float64)
-    return (-0.5 * (quad + logdet + nn * LOG2PI)).astype(batch.x.dtype)
+    # stays f64: the refined mll feeds the SPN weight update, and the
+    # downstream combine runs in f64 under refinement (see
+    # fit.bucketed_streamed_predict) so the log-space moment matching's
+    # exp/log cancellations don't re-floor the result at f32
+    return -0.5 * (quad + logdet + nn * LOG2PI)
 
 
 def refined_mean(layout, theta, batch, alpha64, xt_leaf):
@@ -149,7 +153,7 @@ def refined_mean(layout, theta, batch, alpha64, xt_leaf):
     Knt = leaf_gram(layout, theta64, b64, xt64)  # [C, Nmax, T] f64
     Knt = jnp.where(batch.mask[:, :, None], Knt, 0.0)
     mu = b64.mean[:, None] + jnp.einsum("cnt,cn->ct", Knt, alpha64)
-    return mu.astype(batch.x.dtype)
+    return mu  # f64 — the refined contract keeps f64 through the combine
 
 
 def refined_predict(layout, theta, batch, Lf, V32, alpha64, xt_leaf,
@@ -173,8 +177,9 @@ def refined_predict(layout, theta, batch, Lf, V32, alpha64, xt_leaf,
     so the cancellation ``k_tt − q`` (tiny posterior variances near
     training data) is not re-floored by f32 storage.
 
-    Returns ``(mu, var) [C, T]`` in the batch dtype. Reference role: the
-    exact f64 variance ``Σ = K_tt − V'V + σ²I``
+    Returns ``(mu, var) [C, T]`` in float64 (kept f64 through the SPN
+    combine — see the note at the return). Reference role: the exact f64
+    variance ``Σ = K_tt − V'V + σ²I``
     (``/root/reference/src/gaussianprocess.jl:110-137``).
     """
     from ..leafgp import leaf_gram, leaf_gram_diag, leaf_noise
@@ -209,4 +214,10 @@ def refined_predict(layout, theta, batch, Lf, V32, alpha64, xt_leaf,
     q = jnp.einsum("cnt,cnt->ct", Knt64, B)
     ktt64 = leaf_gram_diag(layout, theta64, b64, xt64)
     var = ktt64 - q + noise64[:, None]
-    return mu.astype(batch.x.dtype), var.astype(batch.x.dtype)
+    # f64 on purpose: casting back to f32 here would be harmless for the
+    # leaf moments themselves (~1e-7), but the SPN moment-matching
+    # combine's E[mu²] − mean² cancellation amplifies f32 input rounding
+    # to ~1e-3 relative on the mixture variance (measured: the combine
+    # cross-check floors at 2.4e-3 in f32) — keeping f64 through the
+    # combine is what lets the END-TO-END refined variance reach ~1e-5
+    return mu, var
