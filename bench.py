@@ -1037,6 +1037,54 @@ def run_serve_bench(args, dtype):
         "requests": R,
         "dtype": str(np.dtype(dtype)),
     }
+
+    # Concurrent throughput: C clients issuing 64-point full predicts.
+    # Locked = requests serialize behind the predictor lock, each paying
+    # the request-independent O(Σn³) stream of the uncached buckets;
+    # batched = MicroBatcher coalesces the concurrent arrivals into one
+    # routed predict (exact — per-point predictions are independent).
+    C = args.serve_concurrency
+    if C > 1:
+        import threading as _th
+
+        from deepstructuredmixtures_tpu.serve import MicroBatcher
+
+        # warm class C*64 so a full coalesced batch runs as ONE program
+        # (past warm_max the predictor chunks, which would undo batching)
+        pc = Predictor(model, warm_sizes=(64, 64 * C), warm=True,
+                       store="light")
+        total = max(R, 2 * C)
+        reqs = [rng.uniform(-0.05, 1.05, (64, 1)) for _ in range(total)]
+
+        def run_clients(fn):
+            barrier = _th.Barrier(C + 1)
+
+            def client(tid):
+                barrier.wait()
+                for k in range(tid, total, C):
+                    fn(reqs[k])
+
+            ths = [_th.Thread(target=client, args=(i,)) for i in range(C)]
+            for t in ths:
+                t.start()
+            barrier.wait()
+            t0 = time.perf_counter()
+            for t in ths:
+                t.join()
+            return time.perf_counter() - t0
+
+        wall_lock = run_clients(lambda xq: pc.predict(xq))
+        mb = MicroBatcher(pc, max_batch_points=64 * C, max_wait_ms=25.0)
+        wall_mb = run_clients(lambda xq: mb.predict(xq))
+        stats = dict(mb.stats)
+        mb.close()
+        entry.update({
+            "concurrency": C,
+            "concurrent_req_s_locked": round(total / wall_lock, 3),
+            "concurrent_req_s_batched": round(total / wall_mb, 3),
+            "batched_speedup": round(wall_lock / wall_mb, 2),
+            "batches_for_requests": [stats["batches"], stats["requests"]],
+        })
     cache = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
@@ -1150,6 +1198,9 @@ def main():
     ap.add_argument("--factor-budget", type=int, default=8 << 30,
                     metavar="BYTES",
                     help="hybrid factor-cache budget for --serve-bench")
+    ap.add_argument("--serve-concurrency", type=int, default=4,
+                    help="concurrent clients for the --serve-bench "
+                         "micro-batching throughput section (1 disables)")
     ap.add_argument("--mixture", action="store_true",
                     help="kernel-mixture mode: [IsoSE, ArdSE, IsoLinear] "
                          "leaves at --n, sampled per-kind leaf mlls gated "

@@ -157,12 +157,7 @@ class Predictor:
                 and not getattr(m, "_giant", None)
                 and has_rv)
 
-    def predict(self, x, return_var: bool = True):
-        """``x [T, D]`` (or [T] for 1-D models) → ``(mean [T], var [T])``.
-        ``return_var=False`` skips the variance (``var`` comes back
-        ``None``); on light-store models this takes the cached-alpha
-        mean fast path — the memory-budget case where per-request
-        latency otherwise pays a full streamed refactorization."""
+    def _validate(self, x) -> np.ndarray:
         x = as_2d(np.asarray(x, dtype=np.float64))
         if x.shape[1] != self.dim:
             raise ValueError(
@@ -170,6 +165,15 @@ class Predictor:
             )
         if not np.all(np.isfinite(x)):
             raise ValueError("non-finite prediction inputs")
+        return x
+
+    def predict(self, x, return_var: bool = True):
+        """``x [T, D]`` (or [T] for 1-D models) → ``(mean [T], var [T])``.
+        ``return_var=False`` skips the variance (``var`` comes back
+        ``None``); on light-store models this takes the cached-alpha
+        mean fast path — the memory-budget case where per-request
+        latency otherwise pays a full streamed refactorization."""
+        x = self._validate(x)
         with self._lock:
             t0 = time.perf_counter()
             mean, var = self._predict_padded(x, return_var)
@@ -186,6 +190,136 @@ class Predictor:
             "theta": np.asarray(m.theta).tolist(),
             "num_mixtures": int(m.num_mixtures()),
         }
+
+
+class _Pending:
+    __slots__ = ("x", "want_var", "event", "mean", "var", "error",
+                 "latency_s", "batched_with")
+
+    def __init__(self, x, want_var):
+        self.x = x
+        self.want_var = want_var
+        self.event = threading.Event()
+        self.mean = self.var = self.error = None
+        self.latency_s = 0.0
+        self.batched_with = 1
+
+
+class MicroBatcher:
+    """Coalesce concurrent predict requests into one routed predict.
+
+    Under concurrency, requests serialize behind the predictor lock and
+    each pays the full per-request cost. At headline scale that cost is
+    dominated by the UNCACHED buckets' refactorization stream, which is
+    REQUEST-INDEPENDENT — O(Σn³) whether 16 or 2000 test points ride the
+    program (measured: 1.11 s/request at N=100k under the 8 GiB hybrid
+    cache, BASELINE.md round-4 serving section). Per-point predictions
+    are independent (routing is per point, reference `common.jl:101-122`),
+    so concatenating requests and splitting the result rows is exact.
+    Coalescing R concurrent requests therefore serves all R at roughly
+    the latency of one — throughput ×R where the classic serving answer
+    (more replicas) would need R accelerators.
+
+    A worker thread drains the queue: the first item opens a batch, then
+    up to ``max_wait_ms`` is spent collecting more (bounded by
+    ``max_batch_points`` total rows — past the largest warmed size class
+    the predictor chunks exactly anyway). Mean-only and variance
+    requests coalesce separately (they run different programs).
+    Single-stream traffic pays at most ``max_wait_ms`` extra latency.
+    """
+
+    def __init__(self, predictor: Predictor, max_batch_points: int = 1024,
+                 max_wait_ms: float = 5.0, request_timeout_s: float = 600.0):
+        import queue
+
+        self.pred = predictor
+        self.max_batch_points = int(max_batch_points)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self.request_timeout_s = float(request_timeout_s)
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = False
+        self.stats = {"requests": 0, "batches": 0, "batched_points": 0}
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    # drop-in for Predictor.predict (the HTTP handler calls either)
+    def predict(self, x, return_var: bool = True):
+        # validate in the CALLING thread so malformed requests raise
+        # ValueError to their own caller (HTTP 400), never poison a batch
+        x = self.pred._validate(x)
+        item = _Pending(x, bool(return_var))
+        t0 = time.perf_counter()
+        self._q.put(item)
+        # a bounded wait so a dead/hung worker thread surfaces as an error
+        # in the requester instead of a silent forever-hang (the timeout
+        # must cover a first-encounter pad-class compile; warmed classes
+        # answer in milliseconds-to-seconds)
+        if not item.event.wait(timeout=self.request_timeout_s):
+            raise TimeoutError(
+                f"prediction not served within {self.request_timeout_s} s "
+                "(worker thread dead or batch stuck in compilation)"
+            )
+        if item.error is not None:
+            raise item.error
+        item.latency_s = time.perf_counter() - t0
+        return item.mean, item.var, item.latency_s
+
+    def info(self) -> dict:
+        return self.pred.info()
+
+    def close(self):
+        self._stop = True
+        self._worker.join(timeout=5)
+
+    def _collect(self, first: "_Pending"):
+        import queue
+
+        batch, rows = [first], first.x.shape[0]
+        deadline = time.perf_counter() + self.max_wait_s
+        while rows < self.max_batch_points:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                item = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            batch.append(item)
+            rows += item.x.shape[0]
+        return batch
+
+    def _loop(self):
+        import queue
+
+        while not self._stop:
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = self._collect(first)
+            for want_var in (True, False):
+                group = [it for it in batch if it.want_var == want_var]
+                if not group:
+                    continue
+                xs = np.concatenate([it.x for it in group], axis=0)
+                try:
+                    mean, var, _ = self.pred.predict(xs, return_var=want_var)
+                except Exception as e:  # deliver to every waiter
+                    for it in group:
+                        it.error = e
+                        it.event.set()
+                    continue
+                self.stats["requests"] += len(group)
+                self.stats["batches"] += 1
+                self.stats["batched_points"] += int(xs.shape[0])
+                off = 0
+                for it in group:
+                    t = it.x.shape[0]
+                    it.mean = mean[off:off + t]
+                    it.var = var[off:off + t] if want_var else None
+                    it.batched_with = len(group)
+                    it.event.set()
+                    off += t
 
 
 #: default request-body cap (bytes); ~16 MiB ≈ 500k float literals — far
@@ -259,12 +393,20 @@ def main(argv=None):
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--max-body-bytes", type=int, default=MAX_BODY_BYTES)
+    ap.add_argument("--no-batching", action="store_true",
+                    help="serialize requests behind the predictor lock "
+                         "instead of micro-batching concurrent ones")
+    ap.add_argument("--batch-window-ms", type=float, default=5.0,
+                    help="micro-batch collection window (worst-case added "
+                         "latency for single-stream traffic)")
     args = ap.parse_args(argv)
 
     from . import checkpoint
 
     model = checkpoint.load(args.checkpoint)
     pred = Predictor(model)
+    if not args.no_batching:
+        pred = MicroBatcher(pred, max_wait_ms=args.batch_window_ms)
     server = serve(pred, args.host, args.port, args.max_body_bytes)
     print(f"serving {type(model).__name__} on http://{args.host}:{args.port}")
     server.serve_forever()

@@ -7,7 +7,7 @@ import urllib.request
 import numpy as np
 
 import deepstructuredmixtures_tpu as dsm
-from deepstructuredmixtures_tpu.serve import Predictor, serve
+from deepstructuredmixtures_tpu.serve import MicroBatcher, Predictor, serve
 
 
 def _model():
@@ -240,3 +240,121 @@ def test_mean_only_fast_path_serving():
         np.testing.assert_allclose(out["mean"], mean_f, atol=1e-7)
     finally:
         server.shutdown()
+
+def test_microbatcher_coalesces_and_matches_direct():
+    """Concurrent requests coalesce into fewer predict calls; every
+    requester gets exactly its own rows of the combined routed predict
+    (per-point predictions are independent, so batching is exact)."""
+    m = _model()
+    p = Predictor(m, warm_sizes=(16, 32), warm=True)
+    mb = MicroBatcher(p, max_wait_ms=300.0)  # generous window: force
+    try:                                     # coalescing deterministically
+        rng = np.random.default_rng(7)
+        xs = [np.sort(rng.uniform(0, 1, 5)).reshape(-1, 1)
+              for _ in range(6)]
+        results = [None] * 6
+        barrier = threading.Barrier(6)
+
+        def worker(i):
+            barrier.wait()
+            results[i] = mb.predict(xs[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        for i in range(6):
+            mean_b, var_b, dt = results[i]
+            mean_d, var_d = m.predict(xs[i])
+            np.testing.assert_allclose(mean_b, np.asarray(mean_d),
+                                       atol=1e-10)
+            np.testing.assert_allclose(var_b, np.asarray(var_d),
+                                       atol=1e-10)
+            assert dt > 0
+        # at least some coalescing happened (6 requests arrive within one
+        # 300 ms window; the first may run alone if the worker grabbed it
+        # before the rest enqueued)
+        assert mb.stats["requests"] == 6
+        assert mb.stats["batches"] < 6
+    finally:
+        mb.close()
+
+
+def test_microbatcher_mixed_variance_and_errors():
+    """Mean-only and variance requests coalesce separately; a malformed
+    request raises in ITS caller without touching the batch."""
+    m = _model()
+    m.fit(store="light")
+    p = Predictor(m, warm_sizes=(16,), warm=True, factor_budget=0)
+    assert p._mean_only
+    mb = MicroBatcher(p, max_wait_ms=100.0)
+    try:
+        # malformed: validation raises in the calling thread, pre-queue
+        try:
+            mb.predict(np.zeros((3, 2)))
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+        xt = np.linspace(0, 1, 9).reshape(-1, 1)
+        out = {}
+        barrier = threading.Barrier(2)
+
+        def var_req():
+            barrier.wait()
+            out["var"] = mb.predict(xt, return_var=True)
+
+        def mean_req():
+            barrier.wait()
+            out["mean"] = mb.predict(xt, return_var=False)
+
+        ts = [threading.Thread(target=var_req),
+              threading.Thread(target=mean_req)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=60)
+        m2 = _model()
+        m2.fit(store="full")
+        mean_d, var_d = m2.predict(xt)
+        np.testing.assert_allclose(out["var"][0], np.asarray(mean_d),
+                                   atol=1e-9)
+        np.testing.assert_allclose(out["var"][1], np.asarray(var_d),
+                                   atol=1e-9)
+        np.testing.assert_allclose(out["mean"][0], np.asarray(mean_d),
+                                   atol=1e-9)
+        assert out["mean"][1] is None
+    finally:
+        mb.close()
+
+
+def test_http_endpoint_through_microbatcher():
+    """The HTTP handler is agnostic to the batcher: same round trip."""
+    m = _model()
+    p = Predictor(m, warm_sizes=(16,), warm=True)
+    mb = MicroBatcher(p, max_wait_ms=2.0)
+    server = serve(mb, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        xt = np.linspace(0, 1, 9).reshape(-1, 1)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=json.dumps({"x": xt.tolist()}).encode(),
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = json.loads(r.read())
+        mean_d, var_d = m.predict(xt)
+        np.testing.assert_allclose(out["mean"], np.asarray(mean_d),
+                                   atol=1e-8)
+        np.testing.assert_allclose(out["var"], np.asarray(var_d),
+                                   atol=1e-8)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/info", timeout=10
+        ) as r:
+            assert json.loads(r.read())["class"] == "DSMGP"
+    finally:
+        server.shutdown()
+        mb.close()
