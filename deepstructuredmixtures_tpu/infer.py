@@ -26,10 +26,33 @@ Device-side, jit-friendly equivalents of the reference recursions in
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from .plan import SPNPlan
+
+
+def combine_in_f64(x) -> bool:
+    """True when the SPN combine epilogue should upcast f32 inputs to f64.
+
+    The combine (posterior weight update + log-space moment matching,
+    ≙ ``common.jl:275-302,323-334``) is O(L·T) exp/log work whose
+    ``E[μ²] − mean²`` cancellation floors the END-TO-END predictive
+    variance at ~2e-3 in f32 while the f32 leaves deliver ~1e-5 (measured,
+    BASELINE.md round-4: N=500k leaf var 1.26e-5 vs combine floor 2.9e-3).
+    The reference gets the f64 combine for free (Julia is f64 throughout);
+    here it costs O(L·T) emulated-f64 flops — negligible against the
+    O(Σn³) leaf work — so it is the DEFAULT. The heavy per-leaf programs
+    stay f32: only the combine runs under a trace-time
+    ``jax.enable_x64()`` scope, which does not flip the global x64 flag
+    (f64-capable epilogue inside an otherwise-f32 jitted program).
+
+    ``DSMGP_F32_COMBINE=1`` restores the all-f32 combine (A/B switch).
+    """
+    return (x.dtype == jnp.float32
+            and os.environ.get("DSMGP_F32_COMBINE", "0") != "1")
 
 
 def _segment_logsumexp(x, seg, num_segments):
@@ -78,7 +101,14 @@ def update_weights(plan: SPNPlan, leaf_mlls):
 
     Every sum node's edge weights become
     ``normalize(-log K + child mll)``; returns ``(logweights [E], z_root)``.
+
+    f32 leaf mlls are combined in f64 by default (the logsumexp
+    normalization feeds the predictive combine; see :func:`combine_in_f64`)
+    — the returned logweights/evidence are then f64.
     """
+    if combine_in_f64(leaf_mlls):
+        with jax.enable_x64():
+            return update_weights(plan, leaf_mlls.astype(jnp.float64))
     vals = upward(plan, leaf_mlls)
     lw = jnp.zeros((max(plan.n_sum_edges, 1),), dtype=leaf_mlls.dtype)
     for g in plan.groups:
@@ -95,6 +125,9 @@ def infer_weights(plan: SPNPlan, leaf_mlls):
     """≙ ``infer!`` (``common.jl:336-355``): like ``update_weights`` but
     internal sum nodes are reset to uniform; only leaf-level kernel-mixture
     sums keep their posterior weights."""
+    if combine_in_f64(leaf_mlls):
+        with jax.enable_x64():
+            return infer_weights(plan, leaf_mlls.astype(jnp.float64))
     lw, z = update_weights(plan, leaf_mlls)
     is_leaf_sum = jnp.asarray(plan.edge_is_leaf_sum)
     uniform = jnp.asarray(plan.edge_neg_logk, dtype=lw.dtype)
@@ -148,7 +181,15 @@ def path_logweights(plan: SPNPlan, logweights):
 
 def predict_poe(mu, var):
     """Product-of-experts fusion over ALL experts (≙ ``_predictPoE`` +
-    ``predictPoE``, ``common.jl:145-149,198-208,256-260``)."""
+    ``predictPoE``, ``common.jl:145-149,198-208,256-260``).
+
+    Like the DSMGP combine, f32 expert moments fuse in f64 by default
+    (:func:`combine_in_f64`): O(L·T) epilogue, f64-for-free as in the
+    reference."""
+    if combine_in_f64(mu):
+        with jax.enable_x64():
+            return predict_poe(mu.astype(jnp.float64),
+                               var.astype(jnp.float64))
     t = 1.0 / var  # [L, T]
     tsum = jnp.sum(t, axis=0)
     mean = jnp.sum(t * mu, axis=0) / tsum
@@ -166,6 +207,10 @@ def _group_poe(mu, var, group_ids, n_groups):
 def predict_gpoe(plan: SPNPlan, mu, var):
     """Generalized PoE with ``β = 1/M``, M = number of root children
     (≙ ``_predictgPoE``, ``common.jl:211-222,263-267``)."""
+    if combine_in_f64(mu):
+        with jax.enable_x64():
+            return predict_gpoe(plan, mu.astype(jnp.float64),
+                                var.astype(jnp.float64))
     gid = jnp.asarray(plan.root_child_id)
     n_groups = int(plan.root_child_id.max()) + 1
     mu_c, t_c = _group_poe(mu, var, gid, n_groups)
@@ -179,6 +224,11 @@ def predict_rbcm(plan: SPNPlan, mu, var, prior_var):
     """Robust Bayesian committee machine (≙ ``_predictrBCM``,
     ``common.jl:224-241,269-273``). ``prior_var [T]`` is the prior variance
     ``diag(k(x,x)) + noise`` of the first leaf GP (``common.jl:227-228``)."""
+    if combine_in_f64(mu):
+        with jax.enable_x64():
+            return predict_rbcm(plan, mu.astype(jnp.float64),
+                                var.astype(jnp.float64),
+                                prior_var.astype(jnp.float64))
     gid = jnp.asarray(plan.root_child_id)
     n_groups = int(plan.root_child_id.max()) + 1
     mu_c, t_c = _group_poe(mu, var, gid, n_groups)

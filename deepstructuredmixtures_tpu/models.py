@@ -879,7 +879,26 @@ class DSMGP(BaseModel):
 
 def _routed_moment_match(plan, mu, var, logweights, tidx, tmask, T):
     """Log-space mixture moment matching over routed (leaf, point) pairs
-    (≙ ``common.jl:275-302``)."""
+    (≙ ``common.jl:275-302``).
+
+    f32 leaf moments are combined in f64 by default
+    (:func:`infer.combine_in_f64`): the ``E[μ²] − mean²`` cancellation
+    otherwise floors the end-to-end variance at ~2e-3 while the f32
+    leaves sit at ~1e-5 (BASELINE.md round-4/5). O(L·T) epilogue cost,
+    traced under ``jax.enable_x64()`` without flipping the global flag;
+    the returned moments are then f64. ``DSMGP_F32_COMBINE=1`` opts out.
+    """
+    if inferlib.combine_in_f64(mu):
+        with jax.enable_x64():
+            return _routed_moment_match_impl(
+                plan, mu.astype(jnp.float64), var.astype(jnp.float64),
+                logweights.astype(jnp.float64), tidx, tmask, T,
+            )
+    return _routed_moment_match_impl(plan, mu, var, logweights, tidx,
+                                     tmask, T)
+
+
+def _routed_moment_match_impl(plan, mu, var, logweights, tidx, tmask, T):
     from .config import EPS
 
     pw = inferlib.path_logweights(plan, logweights)  # [L]
