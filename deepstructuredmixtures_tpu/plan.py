@@ -145,6 +145,82 @@ def _pad_leaf_arrays(obs_list, nmax: int, X, y, npdt):
 DENSE_OVERLAP_MAX = 2048
 
 
+class MixtureOverlap:
+    """Sparse leaf-overlap matrix for KERNEL-MIXTURE trees.
+
+    The reference's ``getOverlap`` (``fit.jl:12-39``) gives cross-kernel
+    pairs under a common sum node ``D = 1.0`` (the ``* (kernelid ==
+    kernelid)`` factor zeroes the set-difference term, ``fit.jl:28-31``)
+    — structurally dense, which is why round-4's CSR form was restricted
+    to single-kernel trees. But that cross-kernel part is STRUCTURAL:
+    it depends only on kernel ids and on whether the pair's lowest
+    common ancestor is a sum node — no per-pair data. This class stores
+
+    * ``same``: CSR of the data-dependent same-kernel intersection
+      ratios ``|obs_i ∩ obs_j| / |obs_i|`` (zero rows/cols elsewhere) and
+      its transpose ``sameT``, and
+    * ``iv[j]``: per-leaf DFS intervals covering exactly the leaves
+      whose LCA with ``j`` is a sum node (splits partition space, so a
+      subtree's leaves are a contiguous DFS index range; a leaf's
+      sum-LCA set is the union over its sum ancestors of the sibling
+      children's ranges — O(depth·V) intervals per leaf),
+
+    and materializes rows/columns on demand: cross-kernel positions
+    inside ``iv[j]`` are 1.0, same-kernel positions come from the CSR.
+    Same-kernel pairs with nonzero intersection necessarily have a sum
+    LCA (split siblings have disjoint observations), so the CSR pattern
+    is a subset of the interval sets and the reconstruction is exact —
+    gated element-for-element against the dense ``getOverlap`` replica in
+    ``tests/test_plan.py``.
+    """
+
+    def __init__(self, same, sameT, kid, iv, L: int):
+        self.same = same
+        self.sameT = sameT
+        self.kid = np.asarray(kid)
+        self.iv = iv
+        self.shape = (L, L)
+        self.nnz = int(same.nnz)
+
+    def _structural(self, j: int) -> np.ndarray:
+        r = np.zeros(self.shape[0])
+        kj = self.kid[j]
+        for lo, hi in self.iv[j]:
+            seg = r[lo:hi]
+            seg[self.kid[lo:hi] != kj] = 1.0
+        return r
+
+    def _fill_same(self, r: np.ndarray, csr, j: int) -> np.ndarray:
+        sl = slice(csr.indptr[j], csr.indptr[j + 1])
+        r[csr.indices[sl]] = csr.data[sl]
+        return r
+
+    def row(self, j: int) -> np.ndarray:
+        """Dense ``D[j, :]`` (the finetune weighting row,
+        ``finetuning.jl:54``)."""
+        return self._fill_same(self._structural(j), self.same, j)
+
+    def col(self, j: int) -> np.ndarray:
+        """Dense ``D[:, j]`` (the cross-kernel structural part is
+        symmetric; the ratio part transposes)."""
+        return self._fill_same(self._structural(j), self.sameT, j)
+
+    def rows(self, idx) -> np.ndarray:
+        """Dense ``D[idx, :]`` block ``[C, L]``."""
+        return np.stack([self.row(int(j)) for j in np.asarray(idx)])
+
+    def main_partners(self) -> np.ndarray:
+        """``main[j] = argmax_i D[i, j] * D[j, i]`` with np.argmax's
+        first-max tie-breaking — exactly the dense schedule's partner
+        selection (``fit.jl:77-86``), one materialized column at a
+        time."""
+        L = self.shape[0]
+        main = np.zeros(L, dtype=np.int64)
+        for j in range(L):
+            main[j] = int(np.argmax(self.col(j) * self.row(j)))
+        return main
+
+
 def _overlap_matrix(root, leaves, sizes, kids, fmt: str):
     """The leaf-overlap matrix D (≙ ``getOverlap``, ``fit.jl:12-39``),
     computed sparsely: leaves' observation sets can only intersect when
@@ -163,11 +239,14 @@ def _overlap_matrix(root, leaves, sizes, kids, fmt: str):
     implied by a nonzero intersection and D reduces to the pure
     intersection ratios — that is the sparse representation.
 
-    ``fmt``: ``'dense'`` | ``'sparse'`` | ``'auto'`` (sparse when the
-    tree is single-kernel and has more than ``DENSE_OVERLAP_MAX``
-    leaves). Multi-kernel trees always store dense: their cross-kernel
-    1.0 entries make D structurally dense (inherited reference
-    semantics), only the intersection counting is sparse."""
+    ``fmt``: ``'dense'`` | ``'sparse'`` | ``'auto'`` (sparse above
+    ``DENSE_OVERLAP_MAX`` leaves). Single-kernel sparse D is a plain
+    scipy CSR; multi-kernel sparse D is a :class:`MixtureOverlap` — a
+    same-kernel CSR plus the STRUCTURAL cross-kernel part (1.0 for
+    different-kernel pairs whose LCA is a sum, the reference's
+    operator-precedence semantics ``fit.jl:27-31``) as per-leaf DFS
+    intervals (round-4 VERDICT item 6: the frontier-scale D was
+    previously unavailable exactly for mixture trees)."""
     L = len(leaves)
     from .utils.native import box_pairs, pair_intersect
 
@@ -178,28 +257,51 @@ def _overlap_matrix(root, leaves, sizes, kids, fmt: str):
 
     single_kernel = bool(np.all(kids == kids[0]))
     if fmt == "auto":
-        fmt = (
-            "sparse" if single_kernel and L > DENSE_OVERLAP_MAX else "dense"
-        )
+        fmt = "sparse" if L > DENSE_OVERLAP_MAX else "dense"
     if fmt == "sparse":
-        if not single_kernel:
-            raise ValueError(
-                "overlap_format='sparse' requires a single-kernel tree: "
-                "cross-kernel pairs under a common sum have D = 1.0 "
-                "(reference semantics, fit.jl:27), which is structurally "
-                "dense — use overlap_format='dense'"
-            )
         import scipy.sparse as sp
 
         nz = cnt > 0
+        if not single_kernel:
+            # the CSR carries only the data-dependent SAME-kernel ratios;
+            # cross-kernel pairs are structural (MixtureOverlap)
+            nz = nz & (kids[pi] == kids[pj])
         rows = np.concatenate([pi[nz], pj[nz]])
         cols = np.concatenate([pj[nz], pi[nz]])
         vals = np.concatenate(
             [cnt[nz] / sizes[pi[nz]], cnt[nz] / sizes[pj[nz]]]
         )
-        return sp.csr_matrix(
+        same = sp.csr_matrix(
             (vals, (rows, cols)), shape=(L, L), dtype=np.float64
         )
+        if single_kernel:
+            return same
+
+        # per-leaf sum-LCA intervals: for each sum node, leaves in
+        # DIFFERENT children have their LCA exactly there; subtree leaf
+        # sets are contiguous DFS ranges (asserted)
+        iv = [[] for _ in range(L)]
+
+        def walk(node):
+            if isinstance(node, LeafNode):
+                return node.index, node.index + 1
+            spans = [walk(c) for c in node.children]
+            lo = min(s[0] for s in spans)
+            hi = max(s[1] for s in spans)
+            assert hi - lo == sum(s[1] - s[0] for s in spans), (
+                "subtree leaf indices are not DFS-contiguous"
+            )
+            if isinstance(node, SumNode):
+                for a, (alo, ahi) in enumerate(spans):
+                    for b, (blo, bhi) in enumerate(spans):
+                        if a == b:
+                            continue
+                        for l in range(alo, ahi):
+                            iv[l].append((blo, bhi))
+            return lo, hi
+
+        walk(root)
+        return MixtureOverlap(same, same.T.tocsr(), kids, iv, L)
 
     inter = np.zeros((L, L), dtype=np.float64)
     inter[pi, pj] = cnt
@@ -687,7 +789,9 @@ def build_schedule(plan: SPNPlan, tau: float = 0.05) -> SharedSchedule:
         is_sparse = sp.issparse(D)
     except ImportError:  # pragma: no cover
         is_sparse = False
-    if is_sparse:
+    if isinstance(D, MixtureOverlap):
+        main = D.main_partners()
+    elif is_sparse:
         # elementwise D ∘ Dᵀ keeps the CSR sparsity; argmax per column
         # matches np.argmax (first index on ties / all-zero columns)
         score = D.multiply(D.T).tocsc()

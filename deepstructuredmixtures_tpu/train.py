@@ -743,8 +743,14 @@ def finetune(
         _is_sp = False
     # candidate rows of D, densified (a [C, L] block — cheap even when the
     # full D is stored sparse at frontier leaf counts)
-    Dd = (np.asarray(Dov[cand].todense(), dtype=np.float64) if _is_sp
-          else np.array(Dov[cand], dtype=np.float64))
+    from .plan import MixtureOverlap
+
+    if isinstance(Dov, MixtureOverlap):
+        Dd = Dov.rows(cand)
+    elif _is_sp:
+        Dd = np.asarray(Dov[cand].todense(), dtype=np.float64)
+    else:
+        Dd = np.array(Dov[cand], dtype=np.float64)
     Dd[np.arange(C), cand] = self_weight
     Dd = jnp.asarray(Dd, dtype=model.dtype)
     cand_j = jnp.asarray(cand)

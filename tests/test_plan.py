@@ -301,11 +301,18 @@ def test_sparse_overlap_multid_noncontiguous_obs():
     assert np.array_equal(np.asarray(ps.overlap.todense()), pd.overlap)
 
 
-def test_sparse_overlap_rejects_multikernel():
-    """Cross-kernel pairs carry D = 1.0 (reference quirk) — structurally
-    dense; the sparse format must refuse rather than silently drop them."""
+def test_sparse_overlap_multikernel_matches_dense_and_schedule():
+    """VERDICT r4 item 6: kernel-mixture trees get a sparse overlap too —
+    same-kernel ratios in CSR + the structural cross-kernel part (1.0
+    where the pair's LCA is a sum, the reference's operator-precedence
+    semantics fit.jl:27-31) as DFS intervals. Every row/column and the
+    full shared-Cholesky schedule must equal the dense walk EXACTLY."""
+    import dataclasses
+
+    from deepstructuredmixtures_tpu.plan import MixtureOverlap, build_schedule
+
     r = np.random.default_rng(7)
-    n = 400
+    n = 900
     x = np.sort(r.uniform(0, 1, n)).reshape(-1, 1)
     y = np.sin(x[:, 0] * 6) + r.normal(0, 0.2, n)
     cfg = DSMGPConfig(
@@ -313,11 +320,51 @@ def test_sparse_overlap_rejects_multikernel():
         0.5, True,
     )
     root = build_tree(x, y, cfg, np.random.default_rng(4))
-    try:
-        compile_tree(root, x, overlap_format="sparse")
-        raise AssertionError("expected ValueError for multi-kernel sparse")
-    except ValueError as e:
-        assert "single-kernel" in str(e)
-    # auto on a multi-kernel tree stays dense regardless of leaf count
-    p = compile_tree(root, x, overlap_format="auto")
-    assert isinstance(p.overlap, np.ndarray)
+    pd = compile_tree(root, x, overlap_format="dense")
+    ps = compile_tree(root, x, overlap_format="sparse")
+    assert isinstance(ps.overlap, MixtureOverlap)
+    assert isinstance(pd.overlap, np.ndarray)
+    L = pd.num_leaves
+    # cross-kernel structural entries must actually exist (else the test
+    # exercises nothing)
+    kid = pd.leaf_kernelid
+    cross = (kid[:, None] != kid[None, :]) & (pd.overlap == 1.0)
+    assert cross.any()
+    for j in range(L):
+        np.testing.assert_array_equal(ps.overlap.row(j), pd.overlap[j, :])
+        np.testing.assert_array_equal(ps.overlap.col(j), pd.overlap[:, j])
+    np.testing.assert_array_equal(ps.overlap.rows(np.arange(0, L, 7)),
+                                  pd.overlap[np.arange(0, L, 7)])
+    sd = build_schedule(pd)
+    ss = build_schedule(ps)
+    for f in dataclasses.fields(sd):
+        assert np.array_equal(getattr(sd, f.name), getattr(ss, f.name)), f.name
+    # the structural cross-kernel 1.0s must actually drive the partner
+    # argmax (reference behavior: cross-kernel score ties at 1.0 make
+    # mixture trees pick cross-kernel mains, which resolve to 'full' —
+    # fit.jl:107-112)
+    main = ps.overlap.main_partners()
+    assert (kid[main] != kid[np.arange(L)]).any()
+
+
+def test_finetune_parity_dense_vs_mixture_sparse_overlap():
+    """finetune's D-row weighting through MixtureOverlap.rows must
+    reproduce the dense-overlap run exactly (same history, same H)."""
+    import optax
+
+    r = np.random.default_rng(8)
+    n = 420
+    x = np.sort(r.uniform(0, 1, n)).reshape(-1, 1)
+    y = np.sin(x[:, 0] * 6) + r.normal(0, 0.2, n)
+    kern = [dsm.IsoSE(0.0, 0.0), dsm.IsoLinear(0.0)]
+    m1 = dsm.build_dsmgp(x, y, V=2, K=2, M=25, kernel=kern, seed=9,
+                         overlap_format="dense")
+    m2 = dsm.build_dsmgp(x, y, V=2, K=2, M=25, kernel=kern, seed=9,
+                         overlap_format="sparse")
+    h1 = dsm.finetune(m1, optax.adam(1e-2), iterations=2, lam=1e-9,
+                      progress=False)
+    h2 = dsm.finetune(m2, optax.adam(1e-2), iterations=2, lam=1e-9,
+                      progress=False)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(m1.theta), np.asarray(m2.theta),
+                               rtol=0, atol=0)
