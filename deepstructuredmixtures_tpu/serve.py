@@ -237,6 +237,7 @@ class MicroBatcher:
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.request_timeout_s = float(request_timeout_s)
         self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._held = None  # item deferred by the strict row cap
         self._stop = False
         self.stats = {"requests": 0, "batches": 0, "batched_points": 0}
         self._worker = threading.Thread(target=self._loop, daemon=True)
@@ -268,8 +269,25 @@ class MicroBatcher:
         return self.pred.info()
 
     def close(self):
+        import queue
+
         self._stop = True
         self._worker.join(timeout=5)
+        # fail pending waiters fast: requests enqueued but never collected
+        # would otherwise block their callers for the full
+        # request_timeout_s before erroring (ADVICE r4)
+        err = RuntimeError("MicroBatcher closed before request was served")
+        if self._held is not None:
+            self._held.error = err
+            self._held.event.set()
+            self._held = None
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            item.error = err
+            item.event.set()
 
     def _collect(self, first: "_Pending"):
         import queue
@@ -284,6 +302,11 @@ class MicroBatcher:
                 item = self._q.get(timeout=remaining)
             except queue.Empty:
                 break
+            if rows + item.x.shape[0] > self.max_batch_points:
+                # strict row bound: hold the overflowing item — it opens
+                # the next batch instead of stretching this one
+                self._held = item
+                break
             batch.append(item)
             rows += item.x.shape[0]
         return batch
@@ -292,34 +315,41 @@ class MicroBatcher:
         import queue
 
         while not self._stop:
-            try:
-                first = self._q.get(timeout=0.1)
-            except queue.Empty:
-                continue
+            if self._held is not None:
+                first, self._held = self._held, None
+            else:
+                try:
+                    first = self._q.get(timeout=0.1)
+                except queue.Empty:
+                    continue
             batch = self._collect(first)
             for want_var in (True, False):
                 group = [it for it in batch if it.want_var == want_var]
                 if not group:
                     continue
-                xs = np.concatenate([it.x for it in group], axis=0)
+                # the WHOLE per-group body is guarded: a failure anywhere
+                # (concatenation MemoryError, device error, result
+                # slicing) is delivered to every waiter — a single bad
+                # batch must never kill the worker thread (ADVICE r4)
                 try:
+                    xs = np.concatenate([it.x for it in group], axis=0)
                     mean, var, _ = self.pred.predict(xs, return_var=want_var)
+                    self.stats["requests"] += len(group)
+                    self.stats["batches"] += 1
+                    self.stats["batched_points"] += int(xs.shape[0])
+                    off = 0
+                    for it in group:
+                        t = it.x.shape[0]
+                        it.mean = mean[off:off + t]
+                        it.var = var[off:off + t] if want_var else None
+                        it.batched_with = len(group)
+                        it.event.set()
+                        off += t
                 except Exception as e:  # deliver to every waiter
                     for it in group:
-                        it.error = e
-                        it.event.set()
-                    continue
-                self.stats["requests"] += len(group)
-                self.stats["batches"] += 1
-                self.stats["batched_points"] += int(xs.shape[0])
-                off = 0
-                for it in group:
-                    t = it.x.shape[0]
-                    it.mean = mean[off:off + t]
-                    it.var = var[off:off + t] if want_var else None
-                    it.batched_with = len(group)
-                    it.event.set()
-                    off += t
+                        if not it.event.is_set():
+                            it.error = e
+                            it.event.set()
 
 
 #: default request-body cap (bytes); ~16 MiB ≈ 500k float literals — far
@@ -373,6 +403,16 @@ def make_handler(predictor: Predictor, max_body_bytes: int = MAX_BODY_BYTES):
                 self._send(200, out)
             except (KeyError, ValueError, TypeError) as e:
                 self._send(400, {"error": str(e)})
+            except TimeoutError as e:
+                # MicroBatcher.predict timed out (worker dead or batch
+                # stuck in compilation): a structured 504 beats a dropped
+                # connection (ADVICE r4)
+                self._send(504, {"error": str(e)})
+            except Exception as e:
+                # batched-path failures arrive via item.error and can be
+                # any exception type (device/runtime errors hit every
+                # coalesced waiter) — return a structured 500
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler
 
@@ -399,6 +439,12 @@ def main(argv=None):
     ap.add_argument("--batch-window-ms", type=float, default=5.0,
                     help="micro-batch collection window (worst-case added "
                          "latency for single-stream traffic)")
+    ap.add_argument("--request-timeout-s", type=float, default=600.0,
+                    help="bound on a coalesced request's wait (must cover "
+                         "a first-encounter pad-class compile; timed-out "
+                         "requests get HTTP 504)")
+    ap.add_argument("--max-batch-points", type=int, default=1024,
+                    help="strict cap on total rows per coalesced batch")
     args = ap.parse_args(argv)
 
     from . import checkpoint
@@ -406,7 +452,9 @@ def main(argv=None):
     model = checkpoint.load(args.checkpoint)
     pred = Predictor(model)
     if not args.no_batching:
-        pred = MicroBatcher(pred, max_wait_ms=args.batch_window_ms)
+        pred = MicroBatcher(pred, max_wait_ms=args.batch_window_ms,
+                            request_timeout_s=args.request_timeout_s,
+                            max_batch_points=args.max_batch_points)
     server = serve(pred, args.host, args.port, args.max_body_bytes)
     print(f"serving {type(model).__name__} on http://{args.host}:{args.port}")
     server.serve_forever()

@@ -1,4 +1,5 @@
 """Serving layer: padded-shape predictor + HTTP endpoint round trip."""
+import time
 import json
 import threading
 import urllib.error
@@ -358,3 +359,106 @@ def test_http_endpoint_through_microbatcher():
     finally:
         server.shutdown()
         mb.close()
+
+
+def test_microbatcher_strict_row_cap_and_close_drains():
+    """ADVICE r4: (a) a coalesced batch never exceeds max_batch_points —
+    an overflowing item opens the NEXT batch instead of stretching this
+    one; (b) close() fails queued-but-unserved requests fast instead of
+    letting them hang for request_timeout_s."""
+    m = _model()
+    p = Predictor(m, warm_sizes=(16,), warm=True)
+    mb = MicroBatcher(p, max_wait_ms=300.0, max_batch_points=12)
+    try:
+        xs = [np.sort(np.random.default_rng(i).uniform(0, 1, 5)).reshape(-1, 1)
+              for i in range(4)]
+        results = [None] * 4
+        barrier = threading.Barrier(4)
+
+        def worker(i):
+            barrier.wait()
+            results[i] = mb.predict(xs[i])
+
+        ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=60)
+        for i in range(4):
+            mean_b, _, _ = results[i]
+            mean_d, _ = m.predict(xs[i])
+            np.testing.assert_allclose(mean_b, np.asarray(mean_d), atol=1e-9)
+            # 12-row cap: no request was served in a batch of >2 (2x5=10
+            # fits, 3x5=15 does not)
+            assert results[i][0].shape[0] == 5
+    finally:
+        mb.close()
+
+    # close() drains: an item enqueued into a closed batcher's queue gets
+    # a fast RuntimeError from close, not a request_timeout_s hang
+    from deepstructuredmixtures_tpu.serve import _Pending
+    mb2 = MicroBatcher(p, max_wait_ms=1.0, request_timeout_s=60.0)
+    mb2._stop = True           # stop the worker from collecting
+    mb2._worker.join(timeout=5)
+    item = _Pending(np.zeros((2, 1)), True)
+    mb2._q.put(item)
+    t0 = time.perf_counter()
+    mb2.close()
+    assert item.event.is_set() and isinstance(item.error, RuntimeError)
+    assert time.perf_counter() - t0 < 5
+
+
+def test_http_batched_path_errors_are_structured():
+    """ADVICE r4: TimeoutError from the batched path returns HTTP 504 and
+    arbitrary worker-delivered exceptions return HTTP 500 — never a
+    dropped connection."""
+    m = _model()
+    p = Predictor(m, warm_sizes=(16,), warm=True)
+
+    class Timesout:
+        def predict(self, x, return_var=True):
+            raise TimeoutError("prediction not served within 0.1 s")
+
+        def info(self):
+            return p.info()
+
+    class Explodes:
+        def predict(self, x, return_var=True):
+            raise RuntimeError("device lost")
+
+        def info(self):
+            return p.info()
+
+    for impl, code in ((Timesout(), 504), (Explodes(), 500)):
+        server = serve(impl, port=0)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict",
+                data=json.dumps({"x": [[0.5]]}).encode(),
+            )
+            try:
+                urllib.request.urlopen(req, timeout=30)
+                raise AssertionError("expected HTTPError")
+            except urllib.error.HTTPError as e:
+                assert e.code == code
+                out = json.loads(e.read())
+                assert "error" in out
+        finally:
+            server.shutdown()
+
+
+def test_serve_main_exposes_timeout_flags():
+    """ADVICE r4: operators can tune the micro-batcher bounds from the
+    CLI."""
+    import inspect
+
+    from deepstructuredmixtures_tpu import serve as servemod
+
+    src = inspect.getsource(servemod.main)
+    assert "--request-timeout-s" in src
+    assert "--max-batch-points" in src
+    assert "request_timeout_s=args.request_timeout_s" in src
+    assert "max_batch_points=args.max_batch_points" in src
