@@ -965,6 +965,165 @@ def run_mixture(args, dtype):
     }))
 
 
+def _cpu_leaf_moments_f64(x, y, plan, theta64, l, xt):
+    """f64 leaf predictive moments at ALL test points (no routing — the
+    PoE family predicts every leaf everywhere, ``common.jl:198-273``)."""
+    import scipy.linalg as sla
+
+    logl, logsigma, lognoise = theta64[0], theta64[1], theta64[2]
+    obs = plan.leaf_obs[l]
+    xl = x[obs]
+    yl = y[obs] - plan.leaf_mean[l]
+    K = _np_gram_general("iso_se", np.atleast_1d(logl), float(logsigma),
+                         xl, xl)
+    noise = np.exp(2 * float(lognoise))
+    K[np.diag_indices_from(K)] += noise + 1e-8
+    Lf = np.linalg.cholesky(K)
+    alpha = sla.cho_solve((Lf, True), yl)
+    mll = -0.5 * (yl @ alpha + 2 * np.log(np.diag(Lf)).sum()
+                  + len(obs) * np.log(2 * np.pi))
+    Knt = _np_gram_general("iso_se", np.atleast_1d(logl), float(logsigma),
+                           xl, xt)
+    mu = plan.leaf_mean[l] + Knt.T @ alpha
+    V = sla.solve_triangular(Lf, Knt, lower=True)
+    ktt = np.exp(2 * float(logsigma)) * np.ones(xt.shape[0])
+    var = ktt - (V * V).sum(0) + noise
+    return mll, mu, var
+
+
+def run_poe(args, dtype):
+    """PoE / gPoE / rBCM at scale (round-4 VERDICT weak #6): the three
+    non-Bayesian fusion baselines (``common.jl:198-273``) had no measured
+    scale point. For each model: build (split-only tree, ``buildPoE`` /
+    ``buildBCM`` semantics), timed warm ``fit_naive`` + fusion predict on
+    the chip, sampled-leaf mll/moment gates vs the f64 oracle, and a
+    fusion cross-check — the f64 host replica of the precision-weighted
+    fusion applied to the TPU's OWN per-leaf moments must reproduce the
+    TPU's fused mean/variance (gates the fusion wiring independent of
+    leaf numerics; the fusion itself runs in f64 by default on f32
+    moments, ``infer.combine_in_f64``)."""
+    import deepstructuredmixtures_tpu as dsm
+    from deepstructuredmixtures_tpu import infer as inferlib  # noqa: F401
+
+    x, y = make_data(args.n)
+    xt = np.linspace(-0.05, 1.05, args.test).reshape(-1, 1)
+    out = {"metric": f"poe_family_n{args.n}_t{args.test}", "unit": "s",
+           "dtype": str(np.dtype(dtype))}
+    total = 0.0
+
+    for name, build in (
+        ("poe", lambda: dsm.build_poe(
+            x, y, K=4, M=args.m_min, kernel=dsm.IsoSE(0.0, 0.0),
+            log_noise=-1.0, seed=0, dtype=dtype, do_fit=False,
+            depth=args.depth)),
+        ("gpoe", lambda: dsm.build_poe(
+            x, y, K=4, generalized=True, M=args.m_min,
+            kernel=dsm.IsoSE(0.0, 0.0), log_noise=-1.0, seed=0,
+            dtype=dtype, do_fit=False, depth=args.depth)),
+        ("rbcm", lambda: dsm.build_bcm(
+            x, y, K=4, M=args.m_min, kernel=dsm.IsoSE(0.0, 0.0),
+            log_noise=-1.0, seed=0, dtype=dtype, do_fit=False,
+            depth=args.depth)),
+    ):
+        t0 = time.perf_counter()
+        model = build()
+        t_build = time.perf_counter() - t0
+
+        def once(model=model):
+            t_fit = model.fit_naive()
+            t0 = time.perf_counter()
+            mean, var = model.predict(xt)
+            mean, var = np.asarray(mean), np.asarray(var)
+            return t_fit, time.perf_counter() - t0, mean, var
+
+        t_fit_c, t_pred_c, _, _ = once()  # cold (compiles)
+        t_fit, t_pred, mean, var = once()
+        assert np.all(np.isfinite(mean)) and np.all(var > 0)
+        mll_tpu = np.asarray(model.leaf_mlls())
+        mu_l, var_l = (np.asarray(a, np.float64)
+                       for a in model._leaf_predict_all(
+                           model._as_test(xt)))
+
+        # (a) sampled-leaf oracle gates (f64 on the 1-core host)
+        plan = model.plan
+        theta64 = np.asarray(model.theta, dtype=np.float64)
+        sizes = np.array([o.size for o in plan.leaf_obs])
+        order = np.argsort(sizes)
+        picks = list(order[:2]) + [int(order[len(order) // 2]),
+                                   int(order[-1])]
+        e_mll = e_mean = e_var = 0.0
+        for l in dict.fromkeys(int(p) for p in picks):
+            mll_o, mu_o, var_o = _cpu_leaf_moments_f64(
+                x, y, plan, theta64, l, xt)
+            e_mll = max(e_mll, abs(mll_tpu[l] - mll_o) / max(1.0, abs(mll_o)))
+            e_mean = max(e_mean, float(np.max(np.abs(mu_l[l] - mu_o))))
+            e_var = max(e_var, float(np.max(
+                np.abs(var_l[l] - var_o) / np.abs(var_o))))
+
+        # (b) fusion cross-check: f64 host replica on the TPU's own leaf
+        # moments
+        t_leaf = 1.0 / var_l
+        if name == "poe":
+            tsum = t_leaf.sum(0)
+            mean64 = (t_leaf * mu_l).sum(0) / tsum
+            var64 = 1.0 / tsum
+        else:
+            gid = np.asarray(plan.root_child_id)
+            n_g = int(gid.max()) + 1
+            tw = np.zeros((n_g, xt.shape[0]))
+            mw = np.zeros((n_g, xt.shape[0]))
+            np.add.at(tw, gid, t_leaf)
+            np.add.at(mw, gid, t_leaf * mu_l)
+            mu_c, t_c = mw / tw, tw
+            if name == "gpoe":
+                beta = 1.0 / n_g
+                tsum = (beta * t_c).sum(0)
+                mean64 = (beta * t_c * mu_c).sum(0) / tsum
+                var64 = 1.0 / tsum
+            else:
+                from deepstructuredmixtures_tpu.hyper import (
+                    noise_from, unpack)
+
+                kid0 = int(plan.leaf_kernelid[0])
+                logl, logsigma, lognoise = unpack(
+                    model.layout, model.theta, kid0)
+                prior = (np.exp(2 * float(logsigma)) * np.ones(xt.shape[0])
+                         + float(noise_from(lognoise)))
+                s_c = 1.0 / t_c
+                beta = 0.5 * (np.log(prior)[None] - np.log(s_c))
+                Cc = 1.0 / prior + (beta * t_c - beta / prior[None]).sum(0)
+                mean64 = (mu_c * beta * t_c).sum(0) / Cc
+                var64 = 1.0 / Cc
+        c_mean = float(np.max(np.abs(np.asarray(mean, np.float64) - mean64)))
+        c_var = float(np.max(np.abs(np.asarray(var, np.float64) - var64)
+                             / np.abs(var64)))
+
+        total += t_fit + t_pred
+        out[name] = {
+            "fit_naive_s": round(t_fit, 4),
+            "predict_s": round(t_pred, 4),
+            "cold_s": round(t_fit_c + t_pred_c, 1),
+            "build_s": round(t_build, 1),
+            "leaves": int(model.num_leaves),
+            "max_rel_err_leaf_mll": float(e_mll),
+            "max_abs_err_leaf_mean": float(e_mean),
+            "max_rel_err_leaf_var": float(e_var),
+            "fusion_max_abs_err_mean": c_mean,
+            "fusion_max_rel_err_var": c_var,
+            "sampled_leaves": len(set(int(p) for p in picks)),
+        }
+
+    out["value"] = round(total, 4)
+    cache = {}
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cache = json.load(f)
+    cache[out["metric"]] = {k: v for k, v in out.items() if k != "metric"}
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(cache, f, indent=1)
+    print(json.dumps(out))
+
+
 def run_serve_bench(args, dtype):
     """Serving mode: warm repeated FULL mean+variance prediction at --n,
     streamed (light store — every request re-pays the O(Σn³) stream)
@@ -1201,6 +1360,12 @@ def main():
     ap.add_argument("--serve-concurrency", type=int, default=4,
                     help="concurrent clients for the --serve-bench "
                          "micro-batching throughput section (1 disables)")
+    ap.add_argument("--poe-bench", action="store_true",
+                    help="PoE/gPoE/rBCM mode at --n: timed fit_naive + "
+                         "fusion predict per model class, sampled-leaf "
+                         "mll/moment gates vs the f64 oracle and a host "
+                         "f64 fusion cross-check "
+                         "(BASELINE_GENERATED.json: poe_family_*)")
     ap.add_argument("--mixture", action="store_true",
                     help="kernel-mixture mode: [IsoSE, ArdSE, IsoLinear] "
                          "leaves at --n, sampled per-kind leaf mlls gated "
@@ -1243,6 +1408,7 @@ def main():
             ("--train", bool(args.train)),
             ("--serve-bench", bool(args.serve_bench)),
             ("--mixture", args.mixture),
+            ("--poe-bench", args.poe_bench),
         ) if on]
         if incompatible:
             raise SystemExit(
@@ -1278,6 +1444,9 @@ def main():
         return
     if args.mixture:
         run_mixture(args, dtype)
+        return
+    if args.poe_bench:
+        run_poe(args, dtype)
         return
     if args.serve_bench:
         run_serve_bench(args, dtype)
