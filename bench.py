@@ -1316,11 +1316,11 @@ def run_serve_bench(args, dtype):
         stats = dict(mb.stats)
         mb.close()
         entry.update({
-            "concurrency": C,
-            "concurrent_req_s_locked": round(total / wall_lock, 3),
-            "concurrent_req_s_batched": round(total / wall_mb, 3),
-            "batched_speedup": round(wall_lock / wall_mb, 2),
-            "batches_for_requests": [stats["batches"], stats["requests"]],
+            f"concurrent_c{C}_req_s_locked": round(total / wall_lock, 3),
+            f"concurrent_c{C}_req_s_batched": round(total / wall_mb, 3),
+            f"concurrent_c{C}_batched_speedup": round(wall_lock / wall_mb, 2),
+            f"concurrent_c{C}_batches_for_requests": [
+                stats["batches"], stats["requests"]],
         })
     cache = {}
     if os.path.exists(BASELINE_CACHE):
@@ -1331,7 +1331,8 @@ def run_serve_bench(args, dtype):
     key = f"serve_n{args.n}_t{args.test}"
     if args.factor_budget != (8 << 30):
         key += f"_b{args.factor_budget >> 30}gib"
-    cache[key] = entry
+    # merge: successive runs (different --serve-concurrency) accumulate
+    cache[key] = {**cache.get(key, {}), **entry}
     with open(BASELINE_CACHE, "w") as f:
         json.dump(cache, f, indent=1)
     print(json.dumps(entry))
