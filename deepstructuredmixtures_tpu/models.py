@@ -672,6 +672,24 @@ class DSMGP(BaseModel):
     """Deep structured mixture of GPs (≙ ``DSMGP`` wrapper,
     ``DeepStructuredMixtures.jl:108-112``)."""
 
+    def _combine_program(self, tmax: int, T: int):
+        """The routed SPN combine (weight-path gather + log-space moment
+        matching, f64 by default on f32 moments) as its OWN tiny jitted
+        program: keeping it out of the many-bucket leaf-moment modules
+        costs one extra ~25 ms dispatch but keeps those modules all-f32 —
+        an f64 epilogue inside a 23-bucket module OOM-kills the remote
+        compile helper (measured round 5)."""
+        key = ("combine", tmax, T)
+        if key not in self._jit_cache:
+            plan = self.plan
+
+            def f(mu, var, lw, tidx, tmask):
+                return _routed_moment_match(plan, mu, var, lw, tidx,
+                                            tmask, T)
+
+            self._jit_cache[key] = jax.jit(f)
+        return self._jit_cache[key]
+
     def _predict_routed_giant(self, xt_np, tidx, tmask):
         """Routed prediction after ``fit(mesh=...)``: normal buckets
         stream locally, giant leaves solve distributed, one shared
@@ -813,47 +831,58 @@ class DSMGP(BaseModel):
                 and getattr(self, "_bucket_factors", None) is not None):
             # Hybrid factor cache: cached buckets solve against their
             # persisted factors (O(n²t)), the rest stream (O(n³)+).
+            # The heavy many-bucket module computes LEAF moments only;
+            # the (f64, round-5) SPN combine runs as its own tiny program
+            # — an f64 epilogue inside the 23-bucket module OOM-kills the
+            # remote compile helper (measured round 5, the same boundary
+            # as the monolithic f64/refined modules).
             cached_sig = tuple(f is not None for f in self._bucket_factors)
             key = ("predict_routed_hybrid", tmax, T, cached_sig)
             if key not in self._jit_cache:
-                layout, plan = self.layout, self.plan
+                layout = self.layout
                 ids, L = self.bucket_spec.leaf_ids, self.num_leaves
 
-                def f(theta, batches, factors, lw, xt, tidx, tmask):
-                    mu, var = fitlib.bucketed_hybrid_predict(
+                def f(theta, batches, factors, xt, tidx, tmask):
+                    return fitlib.bucketed_hybrid_predict(
                         layout, theta, batches, ids, L, factors, xt,
                         tidx, tmask,
                     )
-                    return _routed_moment_match(
-                        plan, mu, var, lw, tidx, tmask, T
-                    )
 
                 self._jit_cache[key] = jax.jit(f)
-            mean, var = self._jit_cache[key](
+            mu, var = self._jit_cache[key](
                 self.theta, self.bucket_batches, self._bucket_factors,
-                self.logweights, jnp.asarray(xt_np, self.dtype),
+                jnp.asarray(xt_np, self.dtype),
                 jnp.asarray(tidx), jnp.asarray(tmask),
+            )
+            mean, var = self._combine_program(tmax, T)(
+                mu, var, self.logweights, jnp.asarray(tidx),
+                jnp.asarray(tmask),
             )
             return (mean, var) if return_var else mean
         if post.chol is None or refine_steps:
             # Streamed path: re-derive factors bucket/chunk-wise (large
-            # models; factors never persist).
+            # models; factors never persist). Leaf moments and the SPN
+            # combine are separate programs (see the hybrid note above).
             key = ("predict_routed_streamed", tmax, T, refine_steps)
             if key not in self._jit_cache:
-                layout, plan = self.layout, self.plan
+                layout = self.layout
                 ids, L = self.bucket_spec.leaf_ids, self.num_leaves
 
-                def f(theta, batches, lw, xt, tidx, tmask):
+                def f(theta, batches, xt, tidx, tmask):
                     mu, var, _ = fitlib.bucketed_streamed_predict(
                         layout, theta, batches, ids, L, xt, tidx, tmask,
                         refine_steps=refine_steps,
                     )
-                    return _routed_moment_match(plan, mu, var, lw, tidx, tmask, T)
+                    return mu, var
 
                 self._jit_cache[key] = jax.jit(f)
-            mean, var = self._jit_cache[key](
-                self.theta, self.bucket_batches, self.logweights,
+            mu, var = self._jit_cache[key](
+                self.theta, self.bucket_batches,
                 jnp.asarray(xt_np, self.dtype), jnp.asarray(tidx),
+                jnp.asarray(tmask),
+            )
+            mean, var = self._combine_program(tmax, T)(
+                mu, var, self.logweights, jnp.asarray(tidx),
                 jnp.asarray(tmask),
             )
             return (mean, var) if return_var else mean
