@@ -1286,11 +1286,15 @@ def run_serve_bench(args, dtype):
 
         from deepstructuredmixtures_tpu.serve import MicroBatcher
 
-        # warm class C*64 so a full coalesced batch runs as ONE program
-        # (past warm_max the predictor chunks, which would undo batching)
-        pc = Predictor(model, warm_sizes=(64, 64 * C), warm=True,
-                       store="light")
-        total = max(R, 2 * C)
+        # warm the classes coalescing can produce (full batch, half
+        # batch, single) so a first-encounter pad-class compile never
+        # lands inside the timed window; request count is a multiple of
+        # C so full batches dominate. The batched section runs twice and
+        # reports the SECOND pass (steady state) — stragglers in pass 1
+        # may still form an unwarmed partial class.
+        warm = tuple(sorted({64, 64 * max(C // 2, 1), 64 * C}))
+        pc = Predictor(model, warm_sizes=warm, warm=True, store="light")
+        total = ((max(R, 2 * C) + C - 1) // C) * C
         reqs = [rng.uniform(-0.05, 1.05, (64, 1)) for _ in range(total)]
 
         def run_clients(fn):
@@ -1310,8 +1314,11 @@ def run_serve_bench(args, dtype):
                 t.join()
             return time.perf_counter() - t0
 
+        run_clients(lambda xq: pc.predict(xq))  # steady-state warmup
         wall_lock = run_clients(lambda xq: pc.predict(xq))
         mb = MicroBatcher(pc, max_batch_points=64 * C, max_wait_ms=25.0)
+        run_clients(lambda xq: mb.predict(xq))  # pass 1: classes settle
+        mb.stats.update(requests=0, batches=0, batched_points=0)
         wall_mb = run_clients(lambda xq: mb.predict(xq))
         stats = dict(mb.stats)
         mb.close()
